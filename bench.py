@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Headline benchmark: FV F-cycle DOF/s on the available TPU chip(s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's published FV 4th-order F-cycle throughput of
+2.781e8 DOF/s on 8 ranks x 8 threads of Cray XC-30 (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+from hpgmg_tpu.core.config import BottomSolver, Smoother, SolverConfig
+from hpgmg_tpu.bench.driver import run_benchmark
+
+BASELINE_DOF_S = 2.781e8  # README.md:303 (reference)
+
+
+def main():
+    n = int(os.environ.get("HPGMG_BENCH_N", "256"))
+    op = os.environ.get("HPGMG_BENCH_OP", "fv7pt")
+    cfg = SolverConfig(
+        op=op,
+        a=0.0,
+        b=1.0,
+        smoother=Smoother.GSRB,
+        bottom=BottomSolver.BICGSTAB,
+        dtype=jnp.float32,
+    )
+    res = run_benchmark(n, cfg, mesh=None, min_solve_seconds=2.0,
+                        verbose=False)
+    print(json.dumps({
+        "metric": f"{op}_fcycle_dof_per_s_n{n}",
+        "value": res.dof_per_second,
+        "unit": "DOF/s",
+        "vs_baseline": res.dof_per_second / BASELINE_DOF_S,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,75 @@
+"""hpgmg-fv style benchmark CLI.
+
+Usage (mirrors ``hpgmg-fv [log2_box_dim] [target_boxes]`` but sized
+directly): ``python -m hpgmg_tpu.bench.cli --n 256 --op fv4``.
+
+Protocol follows main()/bench_hpgmg (hpgmg-fv.c:103-386): build, warm up,
+timed F-cycle solves at h, then (dynamic range) 2h and 4h solves feeding a
+Richardson order estimate, a per-level timing table, and the DOF/s summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax.numpy as jnp
+
+from hpgmg_tpu.bench.driver import run_benchmark
+from hpgmg_tpu.bench.timing import format_breakdown, measure_breakdown
+from hpgmg_tpu.core.config import (BC, BottomSolver, CycleType, Smoother,
+                                   SolverConfig)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU HPGMG-FV benchmark")
+    p.add_argument("--n", type=int, default=128, help="fine grid dim (n^3)")
+    p.add_argument("--op", default="fv4",
+                   choices=["fv7pt", "fv2", "fv4", "27pt"])
+    p.add_argument("--smoother", default="gsrb",
+                   choices=[s.value for s in Smoother])
+    p.add_argument("--bottom", default="bicgstab",
+                   choices=[s.value for s in BottomSolver])
+    p.add_argument("--cycle", default="F", choices=["V", "F"])
+    p.add_argument("--bc", default="dirichlet",
+                   choices=["dirichlet", "periodic"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--dynamic-range", type=int, default=3,
+                   help="solve at h, 2h, 4h for Richardson (DYNAMIC_RANGE)")
+    p.add_argument("--min-seconds", type=float, default=1.0)
+    p.add_argument("--timing-table", action="store_true",
+                   help="print the per-level x per-op breakdown")
+    args = p.parse_args(argv)
+
+    cfg = SolverConfig(
+        op=args.op,
+        a=0.0,
+        b=1.0,
+        bc=BC(args.bc),
+        smoother=Smoother(args.smoother),
+        bottom=BottomSolver(args.bottom),
+        cycle=CycleType(args.cycle),
+        dtype=jnp.dtype(args.dtype),
+    )
+    print(f"  op={args.op} smoother={args.smoother} bottom={args.bottom} "
+          f"n={args.n} dtype={args.dtype}")
+    res = run_benchmark(args.n, cfg, dynamic_range=args.dynamic_range,
+                        min_solve_seconds=args.min_seconds)
+    print(f"  DOF/s == {res.dof_per_second:.3e}")
+    if res.richardson_order is not None:
+        print(f"  Richardson order == {res.richardson_order:.3f}")
+
+    if args.timing_table:
+        from hpgmg_tpu.bench.driver import _build
+
+        hier, _ = _build(args.n, cfg)
+        rows = measure_breakdown(hier, cfg)
+        print(format_breakdown(rows))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,100 @@
+"""Benchmark driver (hpgmg-fv.c analog).
+
+Protocol mirrors bench_hpgmg (hpgmg-fv.c:50-99): build, warm up (compile),
+then run timed solves and report DOF/s = n^3 * solves / seconds. The
+reference also solves at 2h and 4h for Richardson analysis
+(DYNAMIC_RANGE=3, hpgmg-fv.c:320-329); ``run_benchmark`` exposes that too.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hpgmg_tpu.core import blas
+from hpgmg_tpu.core.config import SolverConfig
+from hpgmg_tpu.core.hierarchy import build_hierarchy
+from hpgmg_tpu.ops.base import get_suite
+from hpgmg_tpu.parallel.mesh import active_mesh, shard_hierarchy, shard_array
+from hpgmg_tpu.problems.p6 import init_problem_p6
+from hpgmg_tpu.solve.mg import fmg_solve, richardson_error
+
+
+@dataclasses.dataclass
+class BenchResult:
+    n: int
+    dof: int
+    seconds_per_solve: float
+    dof_per_second: float
+    num_solves: int
+    rel_residual: float
+    richardson_order: Optional[float] = None
+
+
+def _build(n: int, cfg: SolverConfig, mesh=None):
+    prob = init_problem_p6(n, dtype=cfg.dtype, a=cfg.a, b=cfg.b,
+                           helmholtz=cfg.helmholtz)
+    hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
+                           alpha=prob.alpha)
+    f = prob.f
+    if mesh is not None:
+        hier = shard_hierarchy(mesh, hier)
+        f = shard_array(mesh, f)
+    return hier, f
+
+
+def run_benchmark(n: int, cfg: SolverConfig, mesh=None,
+                  min_solve_seconds: float = 1.0, max_solves: int = 20,
+                  dynamic_range: int = 1, verbose: bool = True) -> BenchResult:
+    op = get_suite(cfg.op)
+    hier, f = _build(n, cfg, mesh)
+
+    with active_mesh(mesh):
+        # hier is a traced argument (closure constants become XLA literals
+        # and wreck compile time)
+        solve = jax.jit(lambda hier, f: fmg_solve(op, hier, f, cfg))
+        # warmup & compile (the reference's untimed warmup pass, hpgmg-fv.c:63)
+        u, norm_r, norm_f = jax.block_until_ready(solve(hier, f))
+
+        # calibrate: one timed solve decides how many to run (hpgmg-fv.c:66-78)
+        t0 = time.perf_counter()
+        jax.block_until_ready(solve(hier, f))
+        t_one = time.perf_counter() - t0
+        num = max(1, min(max_solves, int(min_solve_seconds / max(t_one, 1e-9))))
+
+        t0 = time.perf_counter()
+        for _ in range(num):
+            u, norm_r, norm_f = solve(hier, f)
+        jax.block_until_ready(u)
+        elapsed = time.perf_counter() - t0
+
+    per_solve = elapsed / num
+    dof = n ** 3
+    rel = float(norm_r) / float(norm_f)
+
+    order = None
+    if dynamic_range >= 3:
+        # Richardson: solve at 2h and 4h, compare restrictions (mg.c:1113)
+        sols = [u]
+        for k in (2, 4):
+            hk, fk = _build(n // k, cfg, mesh)
+            with active_mesh(mesh):
+                uk, _, _ = jax.jit(
+                    lambda hk, f: fmg_solve(op, hk, f, cfg))(hk, fk)
+            sols.append(uk)
+        _, order_arr = richardson_error(op, *sols)
+        order = float(order_arr)
+
+    res = BenchResult(n=n, dof=dof, seconds_per_solve=per_solve,
+                      dof_per_second=dof / per_solve, num_solves=num,
+                      rel_residual=rel, richardson_order=order)
+    if verbose:
+        print(f"  {cfg.op} F-cycle: {n}^3 grid, {num} solves, "
+              f"{per_solve:.4f} s/solve, {res.dof_per_second:.3e} DOF/s, "
+              f"rel_res={rel:.3e}"
+              + (f", order={order:.2f}" if order is not None else ""))
+    return res

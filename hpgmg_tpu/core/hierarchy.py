@@ -1,0 +1,94 @@
+"""Multigrid hierarchy construction (MGBuild analog, mg.c:842-1108).
+
+The reference's 6-case coarsening/agglomeration ladder (mg.c:894-952)
+decides how boxes migrate onto fewer MPI ranks; on TPU the ladder is just
+the list of level dims, and "agglomeration" is a sharding decision made in
+``hpgmg_tpu.parallel`` (fine levels sharded over the mesh, coarse levels
+replicated). Coefficients are restricted level-to-level exactly like
+``rebuild_operator`` (operators.7pt.c:100-107: cell restriction for alpha,
+face restriction for the betas), then each suite derives Dinv / L1inv /
+lambda_max per level.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hpgmg_tpu.core.config import SolverConfig
+from hpgmg_tpu.core.level import Level
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Hierarchy:
+    levels: List[Level]
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+    @property
+    def finest(self) -> Level:
+        return self.levels[0]
+
+
+def level_dims(fine_dim: int, min_coarse_dim: int) -> List[int]:
+    """The coarsening ladder: halve while even and above the floor."""
+    dims = [fine_dim]
+    while dims[-1] % 2 == 0 and dims[-1] // 2 >= min_coarse_dim:
+        dims.append(dims[-1] // 2)
+    return dims
+
+
+def build_hierarchy(beta_i, beta_j, beta_k, cfg: SolverConfig,
+                    alpha: Optional[jax.Array] = None,
+                    h: Optional[float] = None,
+                    jit: bool = True) -> Hierarchy:
+    """Build all levels from fine-level coefficients.
+
+    ``beta_*`` are face arrays (beta_i: (n+1, n, n)); ``alpha`` is cell-
+    centered (required if cfg.helmholtz). ``h`` defaults to 1/n (unit cube).
+
+    The whole build (coefficient restriction ladder + per-level operator
+    rebuild, incl. the colors^3 black-box probes) traces into ONE XLA
+    program by default — the MGBuild analog; eager execution would
+    dispatch thousands of tiny kernels (rebuild.c:46 flags the same code
+    as unoptimized in the reference).
+    """
+    if jit:
+        if h is None:
+            h = 1.0 / beta_i.shape[1]
+
+        def _build(bi, bj, bk, al):
+            return build_hierarchy(bi, bj, bk, cfg, alpha=al, h=h, jit=False)
+
+        return jax.jit(_build)(beta_i, beta_j, beta_k, alpha)
+    from hpgmg_tpu.ops.base import get_suite
+    from hpgmg_tpu.ops.transfer import (restrict_cell, restrict_face_i,
+                                        restrict_face_j, restrict_face_k)
+
+    op = get_suite(cfg.op)
+    n = beta_i.shape[1]
+    assert beta_i.shape == (n + 1, n, n), beta_i.shape
+    if h is None:
+        h = 1.0 / n
+    if cfg.helmholtz and alpha is None:
+        alpha = jnp.ones((n, n, n), beta_i.dtype)
+
+    dims = level_dims(n, cfg.min_coarse_dim)
+    levels: List[Level] = []
+    for depth, dim in enumerate(dims):
+        if depth > 0:
+            beta_i = restrict_face_i(beta_i)
+            beta_j = restrict_face_j(beta_j)
+            beta_k = restrict_face_k(beta_k)
+            if alpha is not None:
+                alpha = restrict_cell(alpha)
+        lv = Level(dim=dim, h=h * (2 ** depth), depth=depth,
+                   beta_i=beta_i, beta_j=beta_j, beta_k=beta_k, alpha=alpha)
+        levels.append(op.rebuild_operator(lv, cfg))
+    return Hierarchy(levels=levels)

@@ -1,0 +1,85 @@
+"""Level representation.
+
+The reference decomposes each level into equal-size boxes with ghost zones,
+distributed over MPI ranks (level.h:97-200, level.c:1075-1258). On TPU the
+whole level is ONE dense global array per field, sharded over the device
+mesh by XLA/GSPMD; ghost zones are never stored — they are materialized
+functionally (pad/slice inside the traced program), and the SPMD
+partitioner turns them into halo collectives. Box lists, blockCopy
+mini-programs (level.h:65-93) and the red-black FP mask plane
+(level.c:1213-1241) all disappear into the compiler.
+
+Face-centered coefficients are stored as true face arrays: ``beta_i`` has
+shape ``(n+1, n, n)`` — entry ``[i,j,k]`` is the low-i face of cell
+``(i,j,k)`` — matching the reference's cell-indexed-with-high-face layout
+(problem.fv.c / problem.p6.c initialize ``0..dim`` inclusive).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Level:
+    """One grid level: static geometry + operator coefficient fields.
+
+    Solution/rhs/residual vectors are NOT stored here — the solver is
+    functional and threads them through as values. This mirrors splitting
+    the reference's ``level_type`` vector table (defines.h) into coefficient
+    state (set up once by ``rebuild_operator``) and per-solve temporaries.
+    """
+
+    # -- static metadata (not traced) --
+    dim: int = dataclasses.field(metadata=dict(static=True))
+    h: float = dataclasses.field(metadata=dict(static=True))
+    depth: int = dataclasses.field(metadata=dict(static=True))  # 0 = finest
+
+    # -- coefficient fields (traced pytree leaves) --
+    beta_i: jax.Array  # (n+1, n, n) face-centered coefficient, i-faces
+    beta_j: jax.Array  # (n, n+1, n)
+    beta_k: jax.Array  # (n, n, n+1)
+    alpha: Optional[jax.Array] = None  # (n, n, n); None for pure Poisson
+    dinv: Optional[jax.Array] = None  # (n, n, n) 1/diag(A)
+    l1inv: Optional[jax.Array] = None  # (n, n, n) L1-Jacobi weights
+    # scalar: Gershgorin bound on the dominant eigenvalue of D^{-1}A
+    # (operators.7pt.c:220, rebuild.c Gershgorin probes)
+    lambda_max: Optional[jax.Array] = None
+
+    @property
+    def shape(self):
+        return (self.dim, self.dim, self.dim)
+
+    @property
+    def h2inv(self) -> float:
+        return 1.0 / (self.h * self.h)
+
+    @property
+    def ncells(self) -> int:
+        return self.dim ** 3
+
+    def with_operator_data(self, dinv, l1inv, lambda_max) -> "Level":
+        return dataclasses.replace(self, dinv=dinv, l1inv=l1inv, lambda_max=lambda_max)
+
+
+def rb_mask(n: int, sweep_parity, dtype) -> jax.Array:
+    """Red-black mask: 1.0 where the cell is updated on this half-sweep.
+
+    The reference precomputes a 1.0/0.0 FP plane (GSRB_FP, gsrb.c:78-87,
+    level.c:1213-1241) because CPUs can't vectorize the branch; on TPU we
+    regenerate it with iota (pure VPU work, no HBM traffic). A cell (i,j,k)
+    is updated on sweep s iff (i+j+k) % 2 == s % 2 (gsrb.c:55,113 with
+    box.low = 0 in global coordinates).
+
+    ``sweep_parity`` may be a Python int or a traced scalar.
+    """
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 2)
+    parity = (ii + jj + kk) & 1
+    return (parity == (sweep_parity & 1)).astype(dtype)

@@ -1,0 +1,133 @@
+"""4th-order variable-coefficient operator suite (reference operators.fv4.c)
+— the official HPGMG-500 benchmark operator.
+
+A(u) = -b * div(beta grad u) discretized to 4th order on cell averages
+(operators.fv4.c:87-114): per face a 4-wide high-order flux
+``beta_f * (15*(u_n - u_c) - (u_nn - u_opp)) / 12`` plus 12
+mixed-derivative correction terms ``(dbeta_tangential) * (cross second
+difference) / 48`` that need the face coefficients at tangential
+neighbors. Radius 2; quartic volume-averaged BCs (apply_BCs_v4);
+black-box Dinv rebuild with 4 colors/dim (operators.fv4.c:169);
+v2 interpolation for V-cycles, v4 for F-cycles (operators.fv4.c:204-205);
+GSRB NUM_SMOOTHS=3, Chebyshev degree 6.
+
+Representation notes (TPU): ``rebuild_operator`` stores the face
+coefficients *tangentially extended by one ghost layer*
+(beta_i: (n+1, n+2, n+2)) — the extrapolate_betas analog
+(boundary_fv.c:573-681) done once per level so the hot stencil reads no
+out-of-bounds coefficients. The solution ghosts are materialized per
+apply via the separable quartic extension in ops/bc_fv.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+
+from hpgmg_tpu.core.config import SolverConfig
+from hpgmg_tpu.core.level import Level
+from hpgmg_tpu.ops import base
+from hpgmg_tpu.ops.bc_fv import extend_beta_tangential, ghost_fill_fv
+from hpgmg_tpu.ops.rebuild import rebuild_blackbox
+
+TWELFTH = 1.0 / 12.0
+
+
+def _shift(xg, di, dj, dk, n):
+    """Interior-sized view of xg (padded by 2) shifted by (di, dj, dk)."""
+    return xg[2 + di:2 + di + n, 2 + dj:2 + dj + n, 2 + dk:2 + dk + n]
+
+
+@base.register("fv4")
+class FV4(base.OperatorSuite):
+    name = "fv4"
+    radius = 2
+    interpolation_vcycle = "v2"
+    interpolation_fcycle = "v4"
+    bc_order = 4
+    gsrb_num_smooths = 3
+    chebyshev_degree = 6
+
+    def apply_op(self, level: Level, x: jax.Array, cfg: SolverConfig) -> jax.Array:
+        n = level.dim
+        xg = ghost_fill_fv(x, cfg.bc, order=4, radius=2)
+
+        def sh(di=0, dj=0, dk=0):
+            return _shift(xg, di, dj, dk, n)
+
+        c = sh()
+        # face-coefficient views; level.beta_* are tangentially extended by
+        # one ghost (see rebuild_operator), so [1:-1] on tangential axes is
+        # the domain core and [2:]/[ :-2] are the tangential +-1 shifts.
+        bie = level.beta_i  # (n+1, n+2, n+2)
+        bje = level.beta_j  # (n+2, n+1, n+2)
+        bke = level.beta_k  # (n+2, n+2, n+1)
+
+        def bi(f, dj=0, dk=0):  # f in {0 (low), 1 (high)} relative face
+            return bie[f:f + n, 1 + dj:1 + dj + n, 1 + dk:1 + dk + n]
+
+        def bj(f, di=0, dk=0):
+            return bje[1 + di:1 + di + n, f:f + n, 1 + dk:1 + dk + n]
+
+        def bk(f, di=0, dj=0):
+            return bke[1 + di:1 + di + n, 1 + dj:1 + dj + n, f:f + n]
+
+        # -- high-order face fluxes (operators.fv4.c:91-96) --
+        main = (
+            bi(0) * (15.0 * (sh(-1) - c) - (sh(-2) - sh(+1)))
+            + bi(1) * (15.0 * (sh(+1) - c) - (sh(+2) - sh(-1)))
+            + bj(0) * (15.0 * (sh(0, -1) - c) - (sh(0, -2) - sh(0, +1)))
+            + bj(1) * (15.0 * (sh(0, +1) - c) - (sh(0, +2) - sh(0, -1)))
+            + bk(0) * (15.0 * (sh(0, 0, -1) - c) - (sh(0, 0, -2) - sh(0, 0, +1)))
+            + bk(1) * (15.0 * (sh(0, 0, +1) - c) - (sh(0, 0, +2) - sh(0, 0, -1)))
+        )
+
+        # -- mixed-derivative corrections (operators.fv4.c:98-112) --
+        # For face array a on axis `a`, face f (0=low at -e_a, 1=high at
+        # +e_a) and tangential axis t:
+        #   (beta[f, +e_t] - beta[f, -e_t]) *
+        #   (x[s*e_a + e_t] - x[+e_t] - x[s*e_a - e_t] + x[-e_t]),  s = 2f-1
+        def cross(face_fn, axis, f, t):
+            s = 2 * f - 1
+            ea = [0, 0, 0]
+            ea[axis] = s
+            et = [0, 0, 0]
+            et[t] = 1
+            dbeta = face_fn(f, *[+v for v in _tang(axis, t)]) \
+                - face_fn(f, *[-v for v in _tang(axis, t)])
+            return dbeta * (
+                sh(ea[0] + et[0], ea[1] + et[1], ea[2] + et[2])
+                - sh(*et)
+                - sh(ea[0] - et[0], ea[1] - et[1], ea[2] - et[2])
+                + sh(-et[0], -et[1], -et[2])
+            )
+
+        def _tang(axis, t):
+            # offsets for the face accessor: the accessors take the two
+            # tangential axes in ascending order of axis id
+            others = [ax for ax in range(3) if ax != axis]
+            off = [0, 0]
+            off[others.index(t)] = 1
+            return off
+
+        mixed = 0.0
+        for axis, face_fn in ((0, bi), (1, bj), (2, bk)):
+            for f in (0, 1):
+                for t in [ax for ax in range(3) if ax != axis]:
+                    mixed = mixed + cross(face_fn, axis, f, t)
+
+        ax_out = -cfg.b * level.h2inv * (TWELFTH * main + 0.25 * TWELFTH * mixed)
+        if cfg.helmholtz:
+            ax_out = cfg.a * level.alpha * c + ax_out
+        return ax_out
+
+    def rebuild_operator(self, level: Level, cfg: SolverConfig) -> Level:
+        # extend betas tangentially once per level (extrapolate_betas analog)
+        lv = dataclasses.replace(
+            level,
+            beta_i=extend_beta_tangential(level.beta_i, 0, cfg.bc),
+            beta_j=extend_beta_tangential(level.beta_j, 1, cfg.bc),
+            beta_k=extend_beta_tangential(level.beta_k, 2, cfg.bc),
+        )
+        return rebuild_blackbox(self, lv, cfg, colors=4)

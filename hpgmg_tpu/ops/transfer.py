@@ -1,0 +1,121 @@
+"""Inter-level transfer kernels: restriction and interpolation.
+
+Rebuild of the reference ``operators/restriction.c`` and
+``operators/interpolation_*.c``. The reference drives each transfer through
+a precompiled pack/local/unpack MPI program (mg.c:38-841); here levels are
+global arrays so every transfer is a pure reshape/weighted-stencil — XLA
+handles any cross-device movement when the fine and coarse levels have
+different shardings (the box-agglomeration analog, SURVEY.md §7.6).
+
+All interpolators take ``prescale_f``: fine = prescale_f * fine + P(coarse),
+so the same kernel overwrites (F-cycle, prescale 0) or accumulates
+(V-cycle correction, prescale 1) exactly like the reference
+(interpolation_p1.c:54-56).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from hpgmg_tpu.core.config import BC
+from hpgmg_tpu.ops.bc import ghost_fill_linear
+
+# ---------------------------------------------------------------------------
+# restriction (restriction.c:6-94)
+# ---------------------------------------------------------------------------
+
+RESTRICT_CELL = "cell"
+RESTRICT_FACE_I = "face_i"
+RESTRICT_FACE_J = "face_j"
+RESTRICT_FACE_K = "face_k"
+
+
+def restrict_cell(xf: jax.Array) -> jax.Array:
+    """Piecewise-constant 8->1 cell average (restriction_pc_block, x0.125)."""
+    m = xf.shape[0] // 2
+    return xf.reshape(m, 2, m, 2, m, 2).mean(axis=(1, 3, 5))
+
+
+def _restrict_face(bf: jax.Array, axis: int) -> jax.Array:
+    """Face-centered 4->1 average (x0.25): coarse face (I,J,K) averages the
+    four fine faces lying on the same plane (even index along ``axis``)."""
+    # bring `axis` to the front, average the two transverse axes pairwise
+    b = jnp.moveaxis(bf, axis, 0)
+    nfaces = b.shape[0]  # 2m+1 fine faces -> m+1 coarse
+    m1, m2 = b.shape[1] // 2, b.shape[2] // 2
+    b = b[::2].reshape(nfaces // 2 + 1, m1, 2, m2, 2).mean(axis=(2, 4))
+    return jnp.moveaxis(b, 0, axis)
+
+
+def restrict_face_i(bf):
+    return _restrict_face(bf, 0)
+
+
+def restrict_face_j(bf):
+    return _restrict_face(bf, 1)
+
+
+def restrict_face_k(bf):
+    return _restrict_face(bf, 2)
+
+
+# ---------------------------------------------------------------------------
+# interpolation (interpolation_p0.c / interpolation_p1.c / _v2 / _v4)
+# ---------------------------------------------------------------------------
+
+def interp_p0(xc: jax.Array, prescale_f: float, xf: jax.Array, bc: BC) -> jax.Array:
+    """Piecewise-constant injection: every fine cell copies its coarse parent."""
+    m = xc.shape[0]
+    up = jnp.broadcast_to(
+        xc[:, None, :, None, :, None], (m, 2, m, 2, m, 2)
+    ).reshape(2 * m, 2 * m, 2 * m)
+    return prescale_f * xf + up if prescale_f != 0.0 else up
+
+
+def _interp_axis_2tap(x: jax.Array, axis: int, w_c: float, w_n: float) -> jax.Array:
+    """Separable 1D upsample: even child = w_c*c[I] + w_n*c[I-1],
+    odd child = w_c*c[I] + w_n*c[I+1]. ``x`` is ghost-padded by 1 on ``axis``."""
+    lo = jax.lax.slice_in_dim(x, 0, x.shape[axis] - 2, axis=axis)
+    mid = jax.lax.slice_in_dim(x, 1, x.shape[axis] - 1, axis=axis)
+    hi = jax.lax.slice_in_dim(x, 2, x.shape[axis], axis=axis)
+    even = w_c * mid + w_n * lo
+    odd = w_c * mid + w_n * hi
+    out = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(mid.shape)
+    shape[axis] *= 2
+    return out.reshape(shape)
+
+
+def interp_p1(xc: jax.Array, prescale_f: float, xf: jax.Array, bc: BC) -> jax.Array:
+    """Trilinear interpolation (interpolation_p1.c:42-62).
+
+    The reference's 8-point weights {27,9,3,1}/64 are the tensor product of
+    the 1D pair (3/4, 1/4) where even children look backward and odd
+    children look forward, so we apply three separable 1D passes. The
+    coarse array must have BC-consistent ghosts (the reference calls
+    exchange_boundary + apply_BCs_p1 first, interpolation_p1.c:71-72).
+    """
+    up = ghost_fill_linear(xc, bc, radius=1)
+    for axis in range(3):
+        # each pass consumes the ghost pair on its own axis: (m+2 -> 2m);
+        # ghost rows on not-yet-done axes are interpolated along `axis` and
+        # consumed by the later passes, which is exactly separability.
+        up = _interp_axis_2tap(up, axis, 0.75, 0.25)
+    return prescale_f * xf + up if prescale_f != 0.0 else up
+
+
+_INTERP: Dict[str, Callable] = {
+    "p0": interp_p0,
+    "p1": interp_p1,
+}
+
+
+def get_interpolation(name: str) -> Callable:
+    from hpgmg_tpu.ops import transfer_fv  # registers v2/v4/p2 variants
+
+    if name not in _INTERP:
+        raise ValueError(f"unknown interpolation {name!r}; have {sorted(_INTERP)}")
+    return _INTERP[name]

@@ -1,0 +1,162 @@
+"""Device mesh + level placement (the distribution layer).
+
+The reference distributes boxes over MPI ranks with a Z-Morton SFC
+(level.c:240-275) and re-agglomerates coarse levels onto fewer ranks with
+per-level subcommunicators (mg.c:894-997). The TPU-native equivalents:
+
+* a 3D ``jax.sharding.Mesh`` over the chips; fine-level fields carry a
+  ``NamedSharding(P('x','y','z'))`` — the SPMD partitioner turns the
+  stencil's pad/slice halos into ICI collective-permutes, replacing the
+  entire blockCopy/exchange_boundary machinery;
+* levels whose per-chip extent would drop below ``AGGLOMERATION_START``
+  cells per axis are **replicated** (sharding ``P()``) — every chip
+  redundantly runs the coarse grids and the bottom solve, so coarse-level
+  all-reduces cost nothing and the coarse->fine broadcast is free. This is
+  the analog of MG_AGGLOMERATION_START=8^3 + "agglomerate to 1 rank"
+  (mg.h:15-17, mg.c:902-949).
+
+Sharding is expressed with ``jax.lax.with_sharding_constraint`` inside the
+traced solver, so a single jitted F-cycle contains the fine sharded phase,
+the replication "gather", and the redundant coarse phase.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Per-chip box floor below which a level is replicated on every chip
+# (MG_AGGLOMERATION_START analog, mg.h:15-17).
+AGGLOMERATION_START = 8
+
+MESH_AXES = ("x", "y", "z")
+
+
+def _factor3(n: int) -> Tuple[int, int, int]:
+    """Split n devices into the squarest (x, y, z) factorization, mirroring
+    ProcessGridFindSquarest (sampler.c:19-41)."""
+    best_key, best = None, (n, 1, 1)
+    for fx in range(1, n + 1):
+        if n % fx:
+            continue
+        rem = n // fx
+        for fy in range(1, rem + 1):
+            if rem % fy:
+                continue
+            fz = rem // fy
+            key = (max(fx, fy, fz) - min(fx, fy, fz), max(fx, fy, fz))
+            if best_key is None or key < best_key:
+                best_key, best = key, (fx, fy, fz)
+    return tuple(sorted(best, reverse=True))
+
+
+def make_mesh(devices: Optional[List] = None) -> Mesh:
+    """Build a 3D mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    shape = _factor3(len(devices))
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, MESH_AXES)
+
+
+def level_sharding(mesh: Mesh, dim: int,
+                   face_axis: Optional[int] = None) -> NamedSharding:
+    """Sharding for a level of extent ``dim``: sharded over the mesh while
+    each chip keeps >= AGGLOMERATION_START cells per sharded axis, else
+    replicated (the agglomeration analog).
+
+    ``face_axis``: face arrays have dim+1 entries along one axis, which is
+    not evenly divisible — that axis stays unsharded (its footprint is
+    small and XLA would pad otherwise).
+    """
+    spec = []
+    for ax, name in enumerate(MESH_AXES):
+        size = mesh.shape[name]
+        if ax == face_axis or size == 1:
+            spec.append(None)
+            continue
+        if dim % size == 0 and dim // size >= AGGLOMERATION_START:
+            spec.append(name)
+        else:
+            spec.append(None)
+    if all(s is None for s in spec):
+        return NamedSharding(mesh, P())
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_array(mesh: Mesh, x, face_axis: Optional[int] = None):
+    dim = min(x.shape)
+    return jax.device_put(x, level_sharding(mesh, dim, face_axis))
+
+
+def shard_hierarchy(mesh: Mesh, hier):
+    """Place every level of a hierarchy: fine levels sharded, coarse levels
+    replicated (decided per level by ``level_sharding``)."""
+    import dataclasses
+
+    from hpgmg_tpu.core.hierarchy import Hierarchy
+
+    new_levels = []
+    for lv in hier.levels:
+        kw = {}
+        for name, face_axis in (("beta_i", 0), ("beta_j", 1), ("beta_k", 2),
+                                ("alpha", None), ("dinv", None),
+                                ("l1inv", None)):
+            arr = getattr(lv, name)
+            if arr is not None:
+                kw[name] = jax.device_put(
+                    arr, level_sharding(mesh, lv.dim, face_axis))
+        if lv.lambda_max is not None:
+            kw["lambda_max"] = jax.device_put(
+                lv.lambda_max, NamedSharding(mesh, P()))
+        new_levels.append(dataclasses.replace(lv, **kw))
+    return Hierarchy(levels=new_levels)
+
+
+def constrain_level(mesh: Mesh, dim: int, x):
+    """with_sharding_constraint helper for use inside traced solvers."""
+    return jax.lax.with_sharding_constraint(x, level_sharding(mesh, dim))
+
+
+# ---------------------------------------------------------------------------
+# Active-mesh context: lets the cycle drivers place level temporaries without
+# threading a mesh argument through every call. Set before tracing; the
+# placement is baked into the compiled program (the MGBuild analog of
+# deciding each level's rank set once, mg.c:894-997).
+# ---------------------------------------------------------------------------
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]):
+    """Set (or clear, with None) the mesh used for level placement."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+class active_mesh:
+    """Context manager: ``with active_mesh(mesh): u = jit(solve)(f)``."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _ACTIVE_MESH
+        self._prev = _ACTIVE_MESH
+        _ACTIVE_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = self._prev
+        return False
+
+
+def maybe_constrain(dim: int, x):
+    """Constrain a level-sized temporary to the active placement, if any."""
+    if _ACTIVE_MESH is None:
+        return x
+    return constrain_level(_ACTIVE_MESH, dim, x)

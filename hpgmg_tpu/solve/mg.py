@@ -1,0 +1,194 @@
+"""Multigrid cycle drivers: V-cycle, MGSolve, FMGSolve, Richardson analysis.
+
+Rebuild of the reference mg.c:1135-1495. The level ladder is static, so a
+"recursive" V-cycle is a Python recursion unrolled at trace time into one
+XLA program — the analog of the reference's precomputed MGBuild ladder
+(mg.c:894-952). Convergence-dependent iteration (MGSolve's rtol loop,
+mg.c:1199-1222) is offered two ways:
+
+* ``mg_solve`` — host-driven loop with early exit (test/verification mode);
+* ``mg_solve_fixed`` / ``fmg_solve`` — fully traced with static trip counts
+  (benchmark mode; the F-cycle is non-iterative anyway, mg.c:1243-1246).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hpgmg_tpu.core import blas
+from hpgmg_tpu.core.config import BC, SolverConfig
+from hpgmg_tpu.core.hierarchy import Hierarchy
+from hpgmg_tpu.core.level import Level
+from hpgmg_tpu.ops.base import OperatorSuite, get_suite
+from hpgmg_tpu.ops.transfer import get_interpolation, restrict_cell
+from hpgmg_tpu.parallel.mesh import maybe_constrain
+from hpgmg_tpu.solve.bottom import bottom_solve
+from hpgmg_tpu.solve.smoothers import smooth
+
+
+def _must_subtract_mean(cfg: SolverConfig) -> bool:
+    """Periodic pure-Poisson has a null space of constants (mg.c:1008-1018)."""
+    return cfg.bc == BC.PERIODIC and not cfg.helmholtz
+
+
+def vcycle(op: OperatorSuite, levels: List[Level], lev: int, e, rhs,
+           cfg: SolverConfig):
+    """One V-cycle from level ``lev`` down to the bottom (MGVCycle, mg.c:1135).
+
+    smooth -> residual -> restrict -> recurse -> interpolate(+=) -> smooth;
+    the bottom level runs the Krylov solver.
+    """
+    level = levels[lev]
+    if lev == len(levels) - 1:
+        return bottom_solve(op, level, e, rhs, cfg,
+                            must_subtract_mean=_must_subtract_mean(cfg))
+
+    e = smooth(op, level, e, rhs, cfg)
+    t = op.residual(level, e, rhs, cfg)
+    # place the coarse rhs on the coarse level's mesh footprint (sharded or
+    # replicated — the agglomeration decision, parallel/mesh.py)
+    rhs_c = maybe_constrain(levels[lev + 1].dim, restrict_cell(t))
+    e_c = jnp.zeros_like(rhs_c)
+    e_c = vcycle(op, levels, lev + 1, e_c, rhs_c, cfg)
+    interp = get_interpolation(op.interpolation_vcycle)
+    e = maybe_constrain(level.dim, interp(e_c, 1.0, e, cfg.bc))
+    e = smooth(op, level, e, rhs, cfg)
+    return e
+
+
+def _cycle_norm(op, level, u, f, cfg) -> Tuple[jax.Array, jax.Array]:
+    """Post-cycle true-residual norm with optional mean subtraction
+    (mg.c:1208-1213)."""
+    if _must_subtract_mean(cfg):
+        u = u - blas.mean(u, cfg.reduce_dtype)
+    res = op.residual(level, u, f, cfg)
+    return u, blas.norm(res)
+
+
+def mg_solve(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
+             u0=None, verbose: bool = False):
+    """MGSolve (mg.c:1168-1233): V-cycles until ||r||/||F|| < rtol.
+
+    Host-driven loop (one device sync per cycle) — use for verification.
+    Returns (u, history) where history is the list of per-cycle relative
+    residual norms.
+    """
+    levels = hier.levels
+    u = jnp.zeros(levels[0].shape, levels[0].beta_i.dtype) if u0 is None else u0
+    norm_f = float(blas.norm(f))
+
+    # NOTE: hier rides as a traced argument, never a closure constant —
+    # closed-over arrays become XLA literals and explode compile time.
+    @jax.jit
+    def step(hier, u, f):
+        u2 = vcycle(op, hier.levels, 0, u, f, cfg)
+        return _cycle_norm(op, hier.levels[0], u2, f, cfg)
+
+    history = []
+    for v in range(cfg.max_vcycles):
+        u, norm_r = step(hier, u, f)
+        rel = float(norm_r) / norm_f if norm_f != 0.0 else float(norm_r)
+        history.append(rel)
+        if verbose:
+            print(f"v-cycle={v + 1:2d}  norm={float(norm_r):1.15e}  rel={rel:1.15e}")
+        if rel < cfg.rtol:
+            break
+    return u, history
+
+
+def mg_solve_fixed(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
+                   num_cycles: int, u0=None):
+    """Fully-traced MGSolve with a static V-cycle count. Returns
+    (u, stacked relative residual norms)."""
+    levels = hier.levels
+    u = jnp.zeros(levels[0].shape, levels[0].beta_i.dtype) if u0 is None else u0
+    norm_f = blas.norm(f)
+    rels = []
+    for _ in range(num_cycles):
+        u = vcycle(op, levels, 0, u, f, cfg)
+        u, norm_r = _cycle_norm(op, levels[0], u, f, cfg)
+        rels.append(norm_r / norm_f)
+    return u, jnp.stack(rels)
+
+
+def fmg_solve(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
+              u0=None):
+    """FMGSolve (mg.c:1237-1344): one F-cycle (+ optional trailing V-cycles).
+
+    Restrict F to every level, solve the coarsest, then per level
+    {high-order interpolation; V-cycle} up to the finest. Returns
+    (u, norm_r, norm_f) — the caller checks norm_r/norm_f < rtol
+    (one F-cycle reaches discretization error; README.md:4-10).
+    """
+    levels = hier.levels
+    norm_f = blas.norm(f)
+
+    # restrict the rhs down the whole ladder (mg.c:1274-1278)
+    rhs = [f]
+    for lev in range(len(levels) - 1):
+        rhs.append(maybe_constrain(levels[lev + 1].dim,
+                                   restrict_cell(rhs[-1])))
+
+    # coarsest-grid solve (mg.c:1283-1287)
+    bot = len(levels) - 1
+    if bot == 0 and u0 is not None:
+        u = u0
+    else:
+        u = jnp.zeros(levels[bot].shape, levels[bot].beta_i.dtype)
+    u = bottom_solve(op, levels[bot], u, rhs[bot], cfg,
+                     must_subtract_mean=_must_subtract_mean(cfg))
+
+    # climb: high-order interpolation then a V-cycle at each level
+    interp_f = get_interpolation(op.interpolation_fcycle)
+    for lev in range(bot - 1, -1, -1):
+        # prescale 0: overwrite (mg.c:1295)
+        u = maybe_constrain(levels[lev].dim, interp_f(u, 0.0, None, cfg.bc))
+        u = vcycle(op, levels, lev, u, rhs[lev], cfg)
+
+    # trailing V-cycles (UNLIMIT_FMG_ITERATIONS analog), fixed count
+    for _ in range(cfg.post_f_vcycles):
+        u = vcycle(op, levels, 0, u, f, cfg)
+
+    u, norm_r = _cycle_norm(op, levels[0], u, f, cfg)
+    return u, norm_r, norm_f
+
+
+def richardson_error(op: OperatorSuite, u_h, u_2h, u_4h) -> Tuple[jax.Array, jax.Array]:
+    """Richardson order estimate from solves at h, 2h, 4h (mg.c:1113-1131).
+
+    Returns (||u2h - R uh||_max, order) with
+    order = log2(||u4h - R u2h|| / ||u2h - R uh||).
+    """
+    e_h = blas.norm(u_2h - restrict_cell(u_h))
+    e_2h = blas.norm(u_4h - restrict_cell(u_2h))
+    order = jnp.log2(e_2h / e_h)
+    return e_h, order
+
+
+class MGSolver:
+    """Convenience wrapper binding an operator suite + config + hierarchy.
+
+    Mirrors the role of the reference's ``mg_type`` (mg.h) without owning
+    any mutable solve state.
+    """
+
+    def __init__(self, hier: Hierarchy, cfg: SolverConfig):
+        self.hier = hier
+        self.cfg = cfg
+        self.op = get_suite(cfg.op)
+
+    def solve(self, f, u0=None, verbose: bool = False):
+        from hpgmg_tpu.core.config import CycleType
+
+        if self.cfg.cycle == CycleType.F:
+            u, norm_r, norm_f = jax.jit(
+                lambda hier, f: fmg_solve(self.op, hier, f, self.cfg))(
+                    self.hier, f)
+            if verbose:
+                rel = float(norm_r) / float(norm_f)
+                print(f"f-cycle     norm={float(norm_r):1.15e}  rel={rel:1.15e}")
+            return u, [float(norm_r) / float(norm_f)]
+        return mg_solve(self.op, self.hier, f, self.cfg, u0=u0, verbose=verbose)

@@ -1,0 +1,257 @@
+"""fv2 / fv4 / 27pt operator-suite tests.
+
+The fv4 oracle is the reference's: no analytic solution ships with
+problem.fv, so correctness = F-cycle convergence + Richardson order ~4
+(hpgmg-fv.c:351-366) + transfer polynomial exactness.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpgmg_tpu.core import blas
+from hpgmg_tpu.core.config import BC, SolverConfig
+from hpgmg_tpu.core.hierarchy import build_hierarchy
+from hpgmg_tpu.ops.base import get_suite
+from hpgmg_tpu.ops.bc_fv import ghost_fill_fv
+from hpgmg_tpu.ops.transfer import get_interpolation
+from hpgmg_tpu.problems.fv import init_problem_fv
+from hpgmg_tpu.problems.p6 import init_problem_p6
+from hpgmg_tpu.solve.mg import fmg_solve, mg_solve, richardson_error
+
+
+def make_cfg(op, **kw):
+    kw.setdefault("dtype", jnp.float64)
+    kw.setdefault("a", 0.0)
+    return SolverConfig(op=op, **kw)
+
+
+def setup_fv(n, cfg):
+    prob = init_problem_fv(n, dtype=cfg.dtype)
+    hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
+                           alpha=prob.alpha)
+    return prob, hier
+
+
+class TestBCv4:
+    def test_face_ghosts_quartic_exact(self):
+        """The quartic extension reproduces polynomials of degree <= 4 whose
+        cell averages vanish at the boundary face.
+
+        Use u(t) = t on [0,1] shifted so u(0)=0: cell averages of t over
+        cell i are h*(i+0.5). Ghost average should be h*(-0.5)."""
+        n = 8
+        h = 1.0 / n
+        t = (jnp.arange(n, dtype=jnp.float64) + 0.5) * h
+        x = jnp.broadcast_to(t[:, None, None], (n, n, n))
+        g = ghost_fill_fv(x, BC.DIRICHLET, order=4, radius=2)
+        np.testing.assert_allclose(np.asarray(g[1, 2:-2, 2:-2]), -0.5 * h,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g[0, 2:-2, 2:-2]), -1.5 * h,
+                                   rtol=1e-12)
+
+    def test_face_ghosts_cubic(self):
+        """u(t) = t^3 (vanishes at t=0 with all derivatives to order 2):
+        cell averages ((i+1)^4 - i^4)h^3/4; quartic ghosts must extend it
+        exactly."""
+        n = 8
+        idx = jnp.arange(-2, n + 2, dtype=jnp.float64)
+        avg = ((idx + 1.0) ** 4 - idx**4) / 4.0  # / h^3 scale-free
+        x = jnp.broadcast_to(avg[2:-2][:, None, None], (n, n, n))
+        g = ghost_fill_fv(x, BC.DIRICHLET, order=4, radius=2)
+        np.testing.assert_allclose(np.asarray(g[1, 3, 3]), avg[1], rtol=1e-11)
+        np.testing.assert_allclose(np.asarray(g[0, 3, 3]), avg[0], rtol=1e-11)
+
+
+class TestInterpPolynomialExactness:
+    """Mirrors the FE t040-feinterp exactness ladder for the FV kernels."""
+
+    @pytest.mark.parametrize("name,degree", [("v2", 1), ("p2", 2), ("v4", 3)])
+    def test_reproduces_polynomials_periodic_constant(self, name, degree):
+        xc = jnp.full((4, 4, 4), 2.0)
+        out = get_interpolation(name)(xc, 0.0, None, BC.PERIODIC)
+        np.testing.assert_allclose(np.asarray(out), 2.0, rtol=1e-13)
+
+    @pytest.mark.parametrize("name,maxdeg", [("v2", 2), ("v4", 4)])
+    def test_volume_avg_exactness_interior(self, name, maxdeg):
+        """v2/v4 must reproduce cell averages of polynomials up to their
+        order (away from boundaries)."""
+        n = 8
+        for deg in range(1, maxdeg + 1):
+            # coarse cell averages of t^deg over [I, I+1] (unit coarse h)
+            idx = jnp.arange(n, dtype=jnp.float64)
+            c_avg = ((idx + 1.0) ** (deg + 1) - idx ** (deg + 1)) / (deg + 1.0)
+            xc = jnp.broadcast_to(c_avg[:, None, None], (n, n, n))
+            out = get_interpolation(name)(xc, 0.0, None, BC.DIRICHLET)
+            # fine cell averages over [i/2, (i+1)/2]
+            fidx = jnp.arange(2 * n, dtype=jnp.float64) / 2.0
+            f_avg = ((fidx + 0.5) ** (deg + 1) - fidx ** (deg + 1)) \
+                / (0.5 * (deg + 1.0))
+            expect = np.broadcast_to(np.asarray(f_avg)[:, None, None],
+                                     (2 * n, 2 * n, 2 * n))
+            np.testing.assert_allclose(np.asarray(out)[4:-4, 4:-4, 4:-4],
+                                       expect[4:-4, 4:-4, 4:-4], rtol=1e-10,
+                                       err_msg=f"{name} deg={deg}")
+
+
+class TestFV4Operator:
+    def test_consistency_constant_beta_periodic(self):
+        """With beta == 1 (periodic), fv4 applied to 2nd-order cell averages
+        of a smooth u converges to -lap(u) at >= 2nd order (the comparison
+        data, not the stencil, limits the observed order here; the true
+        4th-order oracle is the Richardson test below)."""
+        from hpgmg_tpu.problems.p6 import evaluate_u
+
+        cfg = make_cfg("fv4", bc=BC.PERIODIC)
+        op = get_suite("fv4")
+        errs = []
+        for n in (16, 32):
+            h = 1.0 / n
+
+            def grid1d(axis, n=n, h=h):
+                c = (jnp.arange(n, dtype=jnp.float64) + 0.5) * h
+                shape = [1, 1, 1]
+                shape[axis] = n
+                return c.reshape(shape)
+
+            x, y, z = grid1d(0), grid1d(1), grid1d(2)
+            u, _, _, _, uxx, uyy, uzz = evaluate_u(x, y, z, True)
+            u_avg = jnp.broadcast_to(u + h * h / 24.0 * (uxx + uyy + uzz),
+                                     (n, n, n))
+            beta_i = jnp.ones((n + 1, n, n), jnp.float64)
+            beta_j = jnp.ones((n, n + 1, n), jnp.float64)
+            beta_k = jnp.ones((n, n, n + 1), jnp.float64)
+            hier = build_hierarchy(beta_i, beta_j, beta_k, cfg)
+            au = op.apply_op(hier.finest, u_avg, cfg)
+            r = au - jnp.broadcast_to(-(uxx + uyy + uzz), (n, n, n))
+            r = r - blas.mean(r)
+            errs.append(float(blas.norm(r)))
+        order = np.log2(errs[0] / errs[1])
+        assert order > 1.5, (errs, order)
+
+    def test_dinv_blackbox_matches_probe(self):
+        cfg = make_cfg("fv4")
+        op = get_suite("fv4")
+        _, hier = setup_fv(8, cfg)
+        lv = hier.finest
+        for idx in [(0, 0, 0), (3, 4, 5), (7, 7, 7), (0, 4, 4)]:
+            e = jnp.zeros((8, 8, 8), jnp.float64).at[idx].set(1.0)
+            diag = float(op.apply_op(lv, e, cfg)[idx])
+            np.testing.assert_allclose(diag, 1.0 / float(lv.dinv[idx]),
+                                       rtol=1e-11, err_msg=str(idx))
+
+    def test_near_symmetry_periodic(self):
+        """The fv4 discretization is NOT exactly symmetric (the
+        mixed-derivative corrections break adjointness at the discrete
+        level — which is why the reference defaults to BiCGStab rather than
+        CG for the bottom solve). The asymmetry must stay at the small
+        structural level (~1%); a sign/indexing bug would blow it up."""
+        cfg = make_cfg("fv4", bc=BC.PERIODIC)
+        op = get_suite("fv4")
+        _, hier = setup_fv(8, cfg)
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.standard_normal((8, 8, 8)))
+        v = jnp.asarray(rng.standard_normal((8, 8, 8)))
+        d1 = float(blas.dot(op.apply_op(hier.finest, u, cfg), v))
+        d2 = float(blas.dot(u, op.apply_op(hier.finest, v, cfg)))
+        assert abs(d1 - d2) / abs(d1) < 0.02, (d1, d2)
+
+
+class TestFV4Solve:
+    def test_vcycles_converge(self):
+        cfg = make_cfg("fv4")
+        prob, hier = setup_fv(16, cfg)
+        _, history = mg_solve(get_suite("fv4"), hier, prob.f, cfg)
+        assert history[-1] < 1e-10, history
+
+    def test_fcycle_converges(self):
+        cfg = make_cfg("fv4")
+        prob, hier = setup_fv(32, cfg)
+        _, norm_r, norm_f = fmg_solve(get_suite("fv4"), hier, prob.f, cfg)
+        # one F-cycle reaches discretization error: small relative residual
+        assert float(norm_r) / float(norm_f) < 2e-3, float(norm_r) / float(norm_f)
+
+    def test_richardson_order_4(self):
+        """The headline fv4 oracle: solver order ~4 via Richardson
+        (hpgmg-fv.c:351-366)."""
+        cfg = make_cfg("fv4")
+        op = get_suite("fv4")
+        sols = []
+        for n in (64, 32, 16):
+            prob, hier = setup_fv(n, cfg)
+            u, _, _ = fmg_solve(op, hier, prob.f, cfg)
+            sols.append(u)
+        _, order = richardson_error(op, *sols)
+        assert 3.0 < float(order) < 5.0, float(order)
+
+
+class TestFV2Solve:
+    def test_vcycles_converge(self):
+        cfg = make_cfg("fv2")
+        prob, hier = setup_fv(16, cfg)
+        _, history = mg_solve(get_suite("fv2"), hier, prob.f, cfg)
+        assert history[-1] < 1e-10, history
+
+    def test_error_order_2_analytic(self):
+        """fv2 solution error vs the analytic p6 solution converges at
+        order 2. (Richardson on the sin^7 benchmark problem needs n >= 128
+        to leave the pre-asymptotic regime — measured 1.86 at 128/64/32 —
+        so the analytic problem is the right unit-test oracle.)"""
+        cfg = make_cfg("fv2")
+        op = get_suite("fv2")
+        errs = {}
+        for n in (16, 32):
+            prob = init_problem_p6(n, dtype=jnp.float64, a=0.0)
+            hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k,
+                                   cfg, alpha=prob.alpha)
+            u, _ = mg_solve(op, hier, prob.f, cfg)
+            errs[n] = float(blas.norm(u - prob.u_true))
+        order = np.log2(errs[16] / errs[32])
+        assert 1.7 < order < 2.4, (errs, order)
+
+
+class Test27pt:
+    def test_vcycles_converge(self):
+        cfg = make_cfg("27pt", a=1.0, b=1.0)
+        prob = init_problem_p6(16, dtype=jnp.float64, a=1.0, b=1.0)
+        hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg)
+        _, history = mg_solve(get_suite("27pt"), hier, prob.f, cfg)
+        assert history[-1] < 1e-10, history
+
+    def test_mehrstellen_truncation_order_4_periodic(self):
+        """The 27pt stencil is a Mehrstellen operator: plain truncation vs
+        pointwise f is O(h^2), but against the corrected rhs
+        f + (h^2/12) lap(f) it is O(h^4) (measured 3.76 at 16->32)."""
+        cfg = make_cfg("27pt", a=0.0, b=1.0, bc=BC.PERIODIC)
+        op = get_suite("27pt")
+        shift = 1.0 / 21.0
+
+        def poly(w):
+            u = 2 * w**6 - 6 * w**5 + 5 * w**4 - w**2
+            d2 = 60 * w**4 - 120 * w**3 + 60 * w**2 - 2
+            d4 = 720 * w**2 - 720 * w + 120
+            return u + shift, d2, d4
+
+        errs = []
+        for n in (16, 32):
+            h = 1.0 / n
+            w = (jnp.arange(n, dtype=jnp.float64) + 0.5) * h
+            X, X2, X4 = poly(w)
+
+            def outer(a, b, c):
+                return a[:, None, None] * b[None, :, None] * c[None, None, :]
+
+            u = outer(X, X, X)
+            lap = outer(X2, X, X) + outer(X, X2, X) + outer(X, X, X2)
+            lap2 = (outer(X4, X, X) + outer(X, X4, X) + outer(X, X, X4)
+                    + 2 * (outer(X2, X2, X) + outer(X2, X, X2)
+                           + outer(X, X2, X2)))
+            prob = init_problem_p6(n, dtype=jnp.float64, periodic=True)
+            hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg)
+            au = op.apply_op(hier.finest, u, cfg)
+            r = au - (-lap + h * h / 12.0 * (-lap2))
+            r = r - blas.mean(r)
+            errs.append(float(blas.norm(r)))
+        order = np.log2(errs[0] / errs[1])
+        assert order > 3.3, (errs, order)
