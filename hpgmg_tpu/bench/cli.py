@@ -44,6 +44,10 @@ def main(argv=None):
                    help="print the per-level x per-op breakdown")
     args = p.parse_args(argv)
 
+    if args.dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     cfg = SolverConfig(
         op=args.op,
         a=0.0,

@@ -1,0 +1,156 @@
+"""FE performance sampler (RunSample, finite-element/sampler.c).
+
+Protocol (sampler.c:242-292, README.md:66-73): enumerate compatible grid
+sizes from the 8 coarse seeds x 8^level, greedily thin to ``maxsamples``,
+run the smallest first (sanity), the largest next (memory + warmup), then
+a timed sweep small -> large, printing per sample:
+
+    Q<degree> G[...] P[...] <time> s <GF> GF <MEq/s> MEq/s
+
+Equations = global nodes; FLOPs counted analytically from the static
+tensor-contraction shapes (the reference counts via PetscLogFlops — the
+manual counts at tensor.c:58, pointwise.h:37, op-poisson1.c:98).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hpgmg_tpu.fe.fas import build_fe_levels, fas_fcycle
+from hpgmg_tpu.fe.grid import FEGrid
+from hpgmg_tpu.fe.op import FEOp
+from hpgmg_tpu.parallel.mesh import _factor3
+
+COARSE_SEEDS = [(2, 2, 2), (2, 2, 3), (2, 3, 3), (3, 3, 3),
+                (3, 3, 4), (3, 4, 4), (2, 2, 4), (2, 4, 4)]
+
+
+def sample_grid_range(min_local: int, max_local: int,
+                      procs: Tuple[int, int, int]) -> List[Tuple[int, int, int]]:
+    """Enumerate global grids whose per-device element count lies in
+    [min_local, max_local] (SampleGridRangeCreate, sampler.c:54-76)."""
+    nproc = procs[0] * procs[1] * procs[2]
+    out = []
+    for seed in COARSE_SEEDS:
+        M = list(seed)
+        while True:
+            nelem = M[0] * M[1] * M[2]
+            local = nelem / nproc
+            if local > max_local:
+                break
+            if local >= min_local:
+                out.append(tuple(M))
+            M = [2 * m for m in M]
+    return sorted(set(out), key=lambda M: M[0] * M[1] * M[2])
+
+
+def thin_samples(samples: List[Tuple[int, int, int]],
+                 maxsamples: int) -> List[Tuple[int, int, int]]:
+    """Greedy geometric thinning (sampler.c:97-111)."""
+    if len(samples) <= maxsamples:
+        return samples
+    keep = [samples[0], samples[-1]]
+    rest = samples[1:-1]
+    while len(keep) < maxsamples and rest:
+        # pick the sample maximizing the min log-distance to kept ones
+        import math
+
+        def score(M):
+            sz = math.log(M[0] * M[1] * M[2])
+            return min(abs(sz - math.log(k[0] * k[1] * k[2])) for k in keep)
+
+        best = max(rest, key=score)
+        keep.append(best)
+        rest.remove(best)
+    return sorted(keep, key=lambda M: M[0] * M[1] * M[2])
+
+
+def fcycle_flops(grid: FEGrid) -> int:
+    """Analytic FLOP count for one F-cycle (apply-dominated).
+
+    Per element per operator apply: 6 tensor contractions (3 EVAL + 3
+    TRANSPOSE), each three passes of 2*dof*Q*P per point-line (tensor.c
+    counts 2*P*Q per 1D pass over P^2 (or Q^2) pencils), plus the
+    pointwise metric application."""
+    P, Q = grid.ref.P, grid.ref.Q
+    per_contraction = 2 * (Q * P * P * P + Q * Q * P * P + Q * Q * Q * P)
+    pointwise = 15 * Q ** 3  # dv = K du (9 mul + 6 add per point)
+    per_apply_elem = 6 * per_contraction + pointwise
+    nelem = grid.M[0] * grid.M[1] * grid.M[2]
+    # cycle structure: F-cycle ~ sum over levels of (pre+post+2) applies on
+    # a geometric ladder (factor 8 shrink): ~ (2+3+2) * 8/7 * nelem applies
+    applies = 7.0 * 8.0 / 7.0
+    return int(per_apply_elem * nelem * applies)
+
+
+@dataclasses.dataclass
+class SampleResult:
+    M: Tuple[int, int, int]
+    seconds: float
+    gflops: float
+    meq_per_s: float
+
+
+def sample_on_grid(op: FEOp, M, degree: int, dtype=jnp.float32,
+                   repeat: int = 3, mintime: float = 0.1) -> SampleResult:
+    """SampleOnGrid (sampler.c:114-240): build, warm up, run >= repeat
+    F-cycles and >= mintime, report the best."""
+    mmax = max(M)
+    L = tuple(m / mmax for m in M)
+    grid = FEGrid(M=tuple(M), degree=degree, L=L)
+    levels = build_fe_levels(grid, op, dtype=dtype)
+    f = jax.jit(lambda L0: op.forcing(L0.grid, L0.coords, "sine"))(levels[0])
+    solve = jax.jit(lambda levels, f: fas_fcycle(op, levels, 0, f))
+    u = jax.block_until_ready(solve(levels, f))  # compile + warm
+
+    best = float("inf")
+    elapsed_total, runs = 0.0, 0
+    while runs < repeat or elapsed_total < mintime:
+        t0 = time.perf_counter()
+        u = jax.block_until_ready(solve(levels, f))
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        elapsed_total += dt
+        runs += 1
+        if runs > 100:
+            break
+    eqs = grid.ndof
+    flops = fcycle_flops(grid)
+    return SampleResult(M=tuple(M), seconds=best,
+                        gflops=flops / best / 1e9,
+                        meq_per_s=eqs / best / 1e6)
+
+
+def run_sample(op: FEOp, degree: int = 2, local: Tuple[int, int] = (50, 10000),
+               maxsamples: int = 8, repeat: int = 3, mintime: float = 0.1,
+               dtype=jnp.float32, n_devices: Optional[int] = None,
+               verbose: bool = True) -> List[SampleResult]:
+    """RunSample (sampler.c:242-292)."""
+    n_dev = n_devices or len(jax.devices())
+    procs = _factor3(n_dev)
+    samples = sample_grid_range(local[0], local[1], procs)
+    samples = thin_samples(samples, maxsamples)
+    if not samples:
+        raise ValueError("no compatible sample sizes; widen -local")
+
+    if verbose:
+        print(f"Small sample of size {samples[0]} (instant feedback)")
+    results = [sample_on_grid(op, samples[0], degree, dtype, 1, 0.0)]
+    if len(samples) > 1:
+        if verbose:
+            print(f"Large sample of size {samples[-1]} (memory + warmup)")
+        sample_on_grid(op, samples[-1], degree, dtype, 1, 0.0)
+    for M in samples[1:] if len(samples) > 1 else []:
+        results.append(sample_on_grid(op, M, degree, dtype, repeat, mintime))
+    if verbose:
+        for r in results:
+            print(f"Q{degree} G[{r.M[0]:5d}{r.M[1]:5d}{r.M[2]:5d}] "
+                  f"P[{procs[0]:3d}{procs[1]:3d}{procs[2]:3d}] "
+                  f"{r.seconds:10.6f} s {r.gflops:9.3f} GF "
+                  f"{r.meq_per_s:9.3f} MEq/s")
+    return results

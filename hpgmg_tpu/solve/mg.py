@@ -156,6 +156,95 @@ def fmg_solve(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
     return u, norm_r, norm_f
 
 
+def fmg_solve2(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
+               u0=None, max_fcycles: int = 20, verbose: bool = False):
+    """FMGSolve2 (mg.c:1348-1495): iterated F-cycles in residual-correction
+    form — compute r = f - A u, solve A e = r with one F-cycle, u += e,
+    repeat until rtol. Host-driven outer loop (each F-cycle is one jitted
+    program); used when a single F-cycle isn't enough (e.g. f32 runs).
+    """
+    levels = hier.levels
+    u = jnp.zeros(levels[0].shape, levels[0].beta_i.dtype) if u0 is None else u0
+    subtract = _must_subtract_mean(cfg)
+
+    @jax.jit
+    def fstep(hier, u, f):
+        r = op.residual(hier.levels[0], u, f, cfg)
+        e, _, _ = fmg_solve(op, hier, r, cfg)
+        u2 = u + e
+        if subtract:
+            u2 = u2 - blas.mean(u2, cfg.reduce_dtype)
+        r2 = op.residual(hier.levels[0], u2, f, cfg)
+        return u2, blas.norm(r2)
+
+    norm_f = float(blas.norm(f))
+    history = []
+    for fc in range(max_fcycles):
+        u, norm_r = fstep(hier, u, f)
+        rel = float(norm_r) / norm_f
+        history.append(rel)
+        if verbose:
+            print(f"f-cycle={fc + 1:2d}  norm={float(norm_r):1.15e}  rel={rel:1.15e}")
+        if rel < cfg.rtol:
+            break
+    return u, history
+
+
+def mgpcg(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
+          max_iters: int = 20, verbose: bool = False):
+    """MGPCG (mg.c:1500-1607): CG preconditioned by one MG V-cycle
+    (Saad Alg 9.1). The true residual is recomputed every iteration for the
+    convergence test (mg.c:1578-1585). Host-driven loop; each iteration is
+    one jitted program containing the V-cycle preconditioner application.
+    """
+    levels = hier.levels
+    lv0 = levels[0]
+    subtract = _must_subtract_mean(cfg)
+
+    def precond(hier, r):
+        z = jnp.zeros_like(r)
+        return vcycle(op, hier.levels, 0, z, r, cfg)
+
+    @jax.jit
+    def init(hier, f):
+        x = jnp.zeros(lv0.shape, lv0.beta_i.dtype)
+        r = op.residual(hier.levels[0], x, f, cfg)
+        if subtract:
+            r = r - blas.mean(r, cfg.reduce_dtype)
+        z = precond(hier, r)
+        return x, r, z, blas.dot(r, z, cfg.reduce_dtype), blas.norm(r)
+
+    @jax.jit
+    def step(hier, x, r, p, r_dot_z, f):
+        ap = op.apply_op(hier.levels[0], p, cfg)
+        ap_dot_p = blas.dot(ap, p, cfg.reduce_dtype)
+        alpha = r_dot_z / ap_dot_p
+        x = x + alpha * p
+        r = r - alpha * ap
+        if subtract:
+            r = r - blas.mean(r, cfg.reduce_dtype)
+        true_r = op.residual(hier.levels[0], x, f, cfg)
+        norm_true = blas.norm(true_r)
+        z = precond(hier, r)
+        r_dot_z_new = blas.dot(r, z, cfg.reduce_dtype)
+        beta = r_dot_z_new / r_dot_z
+        p = z + beta * p
+        return x, r, p, r_dot_z_new, norm_true
+
+    x, r, z, r_dot_z, norm_r0 = init(hier, f)
+    p = z
+    history = []
+    for j in range(max_iters):
+        x, r, p, r_dot_z, norm_true = step(hier, x, r, p, r_dot_z, f)
+        rel = float(norm_true) / float(norm_r0)
+        history.append(rel)
+        if verbose:
+            print(f"iter={j + 1:3d}  norm={float(norm_true):1.15e}  rel={rel:1.15e}")
+        if rel < cfg.rtol:
+            break
+    return x, history
+
+
 def richardson_error(op: OperatorSuite, u_h, u_2h, u_4h) -> Tuple[jax.Array, jax.Array]:
     """Richardson order estimate from solves at h, 2h, 4h (mg.c:1113-1131).
 
