@@ -23,8 +23,8 @@ BASELINE_DOF_S = 2.781e8  # README.md:303 (reference)
 
 
 def main():
-    n = int(os.environ.get("HPGMG_BENCH_N", "256"))
-    op = os.environ.get("HPGMG_BENCH_OP", "fv7pt")
+    n = int(os.environ.get("HPGMG_BENCH_N", "128"))
+    op = os.environ.get("HPGMG_BENCH_OP", "fv4")  # the HPGMG-500 operator
     cfg = SolverConfig(
         op=op,
         a=0.0,

@@ -48,7 +48,7 @@ def _build(n: int, cfg: SolverConfig, mesh=None):
 
 
 def run_benchmark(n: int, cfg: SolverConfig, mesh=None,
-                  min_solve_seconds: float = 1.0, max_solves: int = 20,
+                  min_solve_seconds: float = 1.0, max_solves: int = 50,
                   dynamic_range: int = 1, verbose: bool = True) -> BenchResult:
     op = get_suite(cfg.op)
     hier, f = _build(n, cfg, mesh)
@@ -58,18 +58,32 @@ def run_benchmark(n: int, cfg: SolverConfig, mesh=None,
         # and wreck compile time)
         solve = jax.jit(lambda hier, f: fmg_solve(op, hier, f, cfg))
         # warmup & compile (the reference's untimed warmup pass, hpgmg-fv.c:63)
-        u, norm_r, norm_f = jax.block_until_ready(solve(hier, f))
+        u, norm_r, norm_f = solve(hier, f)
+        _ = float(norm_r)  # host transfer = reliable sync (axon
+        # block_until_ready latency is noisy through the tunnel)
 
-        # calibrate: one timed solve decides how many to run (hpgmg-fv.c:66-78)
-        t0 = time.perf_counter()
-        jax.block_until_ready(solve(hier, f))
-        t_one = time.perf_counter() - t0
-        num = max(1, min(max_solves, int(min_solve_seconds / max(t_one, 1e-9))))
+        # Timed measurement: run `num` data-dependent F-cycles inside ONE
+        # jitted program — a single launch amortizes tunnel/dispatch
+        # latency and the serial dependency prevents overlap/DCE.
+        num = max_solves
 
+        @jax.jit
+        def chained(hier, f):
+            def body(i, carry):
+                dep, _ = carry
+                _, nr, _ = fmg_solve(op, hier, f + dep, cfg)
+                return (0.0 * nr, nr)
+
+            _, nr = jax.lax.fori_loop(0, num, body,
+                                      (jnp.zeros((), f.dtype),
+                                       jnp.zeros((), f.dtype)))
+            return nr
+
+        nr_c = chained(hier, f)
+        _ = float(nr_c)  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(num):
-            u, norm_r, norm_f = solve(hier, f)
-        jax.block_until_ready(u)
+        nr_c = chained(hier, f)
+        _ = float(nr_c)
         elapsed = time.perf_counter() - t0
 
     per_solve = elapsed / num

@@ -30,12 +30,21 @@ from hpgmg_tpu.solve.bottom import bottom_solve
 from hpgmg_tpu.solve.smoothers import smooth
 
 
-def _time_fn(fn, *args, reps: int = 5) -> float:
-    out = jax.block_until_ready(fn(*args))  # compile + warm
+def _time_fn(fn, *args, reps: int = 50) -> float:
+    """Time ``reps`` chained applications inside ONE jitted program.
+
+    The chain makes iterations data-dependent (no overlap/DCE) and the
+    single launch amortizes dispatch/tunnel latency — through the axon
+    tunnel a single launch costs tens of ms, so per-launch timing lies.
+    The first positional arg is threaded as the carry.
+    """
+    chained = jax.jit(lambda *a: jax.lax.fori_loop(
+        0, reps, lambda i, c: fn(*((c,) + a[1:])), a[0]))
+    out = chained(*args)
+    _ = float(jnp.sum(out))  # host transfer = reliable sync
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    out = chained(*args)
+    _ = float(jnp.sum(out))
     return (time.perf_counter() - t0) / reps
 
 
@@ -50,26 +59,28 @@ def measure_breakdown(hier: Hierarchy, cfg: SolverConfig,
         x = jnp.zeros(lv.shape, dtype)
         r = jnp.ones(lv.shape, dtype)
         row = {"level": idx, "dim": lv.dim}
+        # the carry (first arg) threads through the chained iterations
         row["smooth"] = _time_fn(
-            jax.jit(lambda lv, x, r: smooth(op, lv, x, r, cfg)), lv, x, r,
-            reps=reps)
+            lambda x, lv, r: smooth(op, lv, x, r, cfg), x, lv, r, reps=reps)
         row["residual"] = _time_fn(
-            jax.jit(lambda lv, x, r: op.residual(lv, x, r, cfg)), lv, x, r,
-            reps=reps)
+            lambda x, lv, r: op.residual(lv, x, r, cfg), x, lv, r, reps=reps)
         row["blas1"] = _time_fn(
-            jax.jit(lambda x, r: blas.dot(x, r, cfg.reduce_dtype)), x, r,
-            reps=reps)
+            lambda c, x, r: blas.dot(x + c, r, cfg.reduce_dtype),
+            jnp.zeros((), dtype), x, r, reps=reps)
         if idx + 1 < len(hier.levels):
-            row["restriction"] = _time_fn(jax.jit(restrict_cell), r, reps=reps)
+            pad = (lv.dim - lv.dim // 2) // 2
+            row["restriction"] = _time_fn(
+                lambda x: jnp.pad(restrict_cell(x), ((pad, pad),) * 3)
+                * 0.5, r, reps=reps)
             interp = get_interpolation(op.interpolation_vcycle)
             xc = jnp.ones(hier.levels[idx + 1].shape, dtype)
             row["interpolation"] = _time_fn(
-                jax.jit(lambda xc, x: interp(xc, 1.0, x, cfg.bc)), xc, x,
-                reps=reps)
+                lambda xc, x: 0.5 * interp(xc, 1.0, x, cfg.bc)[::2, ::2, ::2],
+                xc, x, reps=reps)
         else:
             row["bottom"] = _time_fn(
-                jax.jit(lambda lv, x, r: bottom_solve(op, lv, x, r, cfg)),
-                lv, x, r, reps=reps)
+                lambda x, lv, r: bottom_solve(op, lv, x, r, cfg), x, lv, r,
+                reps=max(5, reps // 5))
         rows.append(row)
     return rows
 

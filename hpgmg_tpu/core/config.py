@@ -38,6 +38,12 @@ class BottomSolver(enum.Enum):
     CABICGSTAB = "cabicgstab"  # s-step communication-avoiding (cabicgstab.c)
     CACG = "cacg"  # s-step CG (cacg.c)
     SMOOTH = "smooth"  # smooth until converged (solvers.c fallback)
+    # TPU-native addition: the coarsest grid is tiny (<= MAX_COARSE_DIM^3 =
+    # 1331 unknowns, hpgmg-fv.c:181) and replicated on every chip, so a
+    # dense inverse precomputed at MGBuild time turns the latency-bound
+    # Krylov while_loop into ONE small MXU matvec. It is also an *exact*
+    # bottom solve (better than the reference's 1e-3 reduction).
+    DIRECT = "direct"
 
 
 class CycleType(enum.Enum):
@@ -78,7 +84,7 @@ class SolverConfig:
     num_smooths: Optional[int] = None
     chebyshev_degree: Optional[int] = None  # None => suite default (4 or 6)
 
-    bottom: BottomSolver = BottomSolver.BICGSTAB
+    bottom: BottomSolver = BottomSolver.DIRECT
     bottom_rtol: float = 1e-3  # MG_DEFAULT_BOTTOM_NORM (mg.h:18-19)
     bottom_max_iters: int = 200  # jMax in bicgstab.c:26
     cabicgstab_telescoping: bool = True  # s=1,2,4 telescoping (cabicgstab.c:50-54)
@@ -89,6 +95,7 @@ class SolverConfig:
     rtol: float = 1e-10  # MGSolve/FMGSolve convergence target (hpgmg-fv.c)
 
     min_coarse_dim: int = 2  # coarsen while dims even and > this
+    kernels: str = "auto"  # "auto" | "xla" | "pallas" (see kernels/stencils.py)
     dtype: jnp.dtype = dataclasses.field(default=jnp.float32)
     # dtype used for dot/mean accumulation; max-norms are dtype-exact anyway.
     reduce_dtype: Optional[jnp.dtype] = None
@@ -117,5 +124,6 @@ class SolverConfig:
                      self.smoother, self.num_smooths, self.chebyshev_degree,
                      self.bottom, self.bottom_rtol, self.bottom_max_iters,
                      self.cycle, self.max_vcycles, self.post_f_vcycles,
-                     self.rtol, self.min_coarse_dim, str(self.dtype),
-                     str(self.reduce_dtype), self.cabicgstab_telescoping))
+                     self.rtol, self.min_coarse_dim, self.kernels,
+                     str(self.dtype), str(self.reduce_dtype),
+                     self.cabicgstab_telescoping))

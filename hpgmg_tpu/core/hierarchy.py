@@ -91,4 +91,22 @@ def build_hierarchy(beta_i, beta_j, beta_k, cfg: SolverConfig,
         lv = Level(dim=dim, h=h * (2 ** depth), depth=depth,
                    beta_i=beta_i, beta_j=beta_j, beta_k=beta_k, alpha=alpha)
         levels.append(op.rebuild_operator(lv, cfg))
+
+    from hpgmg_tpu.core.config import BC, BottomSolver
+
+    if cfg.bottom == BottomSolver.DIRECT:
+        # assemble the dense bottom operator column-by-column with identity
+        # probes and precompute its (pseudo)inverse — MGBuild-time work that
+        # turns every bottom solve into one MXU matvec
+        bot = levels[-1]
+        m = bot.ncells
+        assert m <= 16 ** 3, (
+            f"DIRECT bottom solver wants a tiny coarsest grid, got {bot.dim}^3;"
+            " lower min_coarse_dim or pick an iterative bottom solver")
+        eye = jnp.eye(m, dtype=bot.beta_i.dtype).reshape(m, *bot.shape)
+        cols = jax.vmap(lambda e: op.apply_op(bot, e, cfg).ravel())(eye)
+        a_mat = cols.T  # apply of e_j forms column j
+        singular = cfg.bc == BC.PERIODIC and not cfg.helmholtz
+        ainv = jnp.linalg.pinv(a_mat) if singular else jnp.linalg.inv(a_mat)
+        levels[-1] = dataclasses.replace(bot, bottom_ainv=ainv)
     return Hierarchy(levels=levels)

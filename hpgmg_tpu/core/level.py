@@ -50,6 +50,9 @@ class Level:
     # scalar: Gershgorin bound on the dominant eigenvalue of D^{-1}A
     # (operators.7pt.c:220, rebuild.c Gershgorin probes)
     lambda_max: Optional[jax.Array] = None
+    # (dim^3, dim^3) dense (pseudo)inverse of the bottom operator for the
+    # DIRECT bottom solver; None on non-bottom levels
+    bottom_ainv: Optional[jax.Array] = None
 
     @property
     def shape(self):

@@ -39,6 +39,60 @@ def _shift(xg, di, dj, dk, n):
     return xg[2 + di:2 + di + n, 2 + dj:2 + dj + n, 2 + dk:2 + dk + n]
 
 
+def _tang(axis, t):
+    """Offsets for the face accessors: the two tangential axes in ascending
+    axis order."""
+    others = [ax for ax in range(3) if ax != axis]
+    off = [0, 0]
+    off[others.index(t)] = 1
+    return off
+
+
+def stencil_ax(sh, bi, bj, bk):
+    """The fv4 stencil combination (operators.fv4.c:87-114) in terms of
+    accessor callables, shared verbatim between the XLA slicing path and
+    the Pallas VMEM-tile kernel (kernels/stencils.py):
+
+    * ``sh(di, dj, dk)``: solution shifted view (cell-sized)
+    * ``bi(f, dj=0, dk=0)`` etc: face coefficient views, f in {0 (low),
+      1 (high)}, with tangential shifts
+
+    Returns TWELFTH*main + 0.25*TWELFTH*mixed (caller applies -b*h2inv).
+    """
+    c = sh(0, 0, 0)
+    main = (
+        bi(0) * (15.0 * (sh(-1, 0, 0) - c) - (sh(-2, 0, 0) - sh(+1, 0, 0)))
+        + bi(1) * (15.0 * (sh(+1, 0, 0) - c) - (sh(+2, 0, 0) - sh(-1, 0, 0)))
+        + bj(0) * (15.0 * (sh(0, -1, 0) - c) - (sh(0, -2, 0) - sh(0, +1, 0)))
+        + bj(1) * (15.0 * (sh(0, +1, 0) - c) - (sh(0, +2, 0) - sh(0, -1, 0)))
+        + bk(0) * (15.0 * (sh(0, 0, -1) - c) - (sh(0, 0, -2) - sh(0, 0, +1)))
+        + bk(1) * (15.0 * (sh(0, 0, +1) - c) - (sh(0, 0, +2) - sh(0, 0, -1)))
+    )
+
+    def cross(face_fn, axis, f, t):
+        s = 2 * f - 1
+        ea = [0, 0, 0]
+        ea[axis] = s
+        et = [0, 0, 0]
+        et[t] = 1
+        off = _tang(axis, t)
+        dbeta = face_fn(f, *off) - face_fn(f, *[-v for v in off])
+        return dbeta * (
+            sh(ea[0] + et[0], ea[1] + et[1], ea[2] + et[2])
+            - sh(*et)
+            - sh(ea[0] - et[0], ea[1] - et[1], ea[2] - et[2])
+            + sh(-et[0], -et[1], -et[2])
+        )
+
+    mixed = 0.0
+    for axis, face_fn in ((0, bi), (1, bj), (2, bk)):
+        for f in (0, 1):
+            for t in [ax for ax in range(3) if ax != axis]:
+                mixed = mixed + cross(face_fn, axis, f, t)
+
+    return TWELFTH * main + 0.25 * TWELFTH * mixed
+
+
 @base.register("fv4")
 class FV4(base.OperatorSuite):
     name = "fv4"
@@ -50,16 +104,20 @@ class FV4(base.OperatorSuite):
     chebyshev_degree = 6
 
     def apply_op(self, level: Level, x: jax.Array, cfg: SolverConfig) -> jax.Array:
+        from hpgmg_tpu.kernels.stencils import fv4_apply_pallas, use_pallas
+
+        if use_pallas(cfg, level, x):
+            return fv4_apply_pallas(level, x, cfg)
+
         n = level.dim
         xg = ghost_fill_fv(x, cfg.bc, order=4, radius=2)
 
         def sh(di=0, dj=0, dk=0):
             return _shift(xg, di, dj, dk, n)
 
-        c = sh()
         # face-coefficient views; level.beta_* are tangentially extended by
-        # one ghost (see rebuild_operator), so [1:-1] on tangential axes is
-        # the domain core and [2:]/[ :-2] are the tangential +-1 shifts.
+        # one ghost (see rebuild_operator), so [1:...] on tangential axes is
+        # the domain core and the +-1 shifts stay in bounds.
         bie = level.beta_i  # (n+1, n+2, n+2)
         bje = level.beta_j  # (n+2, n+1, n+2)
         bke = level.beta_k  # (n+2, n+2, n+1)
@@ -73,54 +131,31 @@ class FV4(base.OperatorSuite):
         def bk(f, di=0, dj=0):
             return bke[1 + di:1 + di + n, 1 + dj:1 + dj + n, f:f + n]
 
-        # -- high-order face fluxes (operators.fv4.c:91-96) --
-        main = (
-            bi(0) * (15.0 * (sh(-1) - c) - (sh(-2) - sh(+1)))
-            + bi(1) * (15.0 * (sh(+1) - c) - (sh(+2) - sh(-1)))
-            + bj(0) * (15.0 * (sh(0, -1) - c) - (sh(0, -2) - sh(0, +1)))
-            + bj(1) * (15.0 * (sh(0, +1) - c) - (sh(0, +2) - sh(0, -1)))
-            + bk(0) * (15.0 * (sh(0, 0, -1) - c) - (sh(0, 0, -2) - sh(0, 0, +1)))
-            + bk(1) * (15.0 * (sh(0, 0, +1) - c) - (sh(0, 0, +2) - sh(0, 0, -1)))
-        )
-
-        # -- mixed-derivative corrections (operators.fv4.c:98-112) --
-        # For face array a on axis `a`, face f (0=low at -e_a, 1=high at
-        # +e_a) and tangential axis t:
-        #   (beta[f, +e_t] - beta[f, -e_t]) *
-        #   (x[s*e_a + e_t] - x[+e_t] - x[s*e_a - e_t] + x[-e_t]),  s = 2f-1
-        def cross(face_fn, axis, f, t):
-            s = 2 * f - 1
-            ea = [0, 0, 0]
-            ea[axis] = s
-            et = [0, 0, 0]
-            et[t] = 1
-            dbeta = face_fn(f, *[+v for v in _tang(axis, t)]) \
-                - face_fn(f, *[-v for v in _tang(axis, t)])
-            return dbeta * (
-                sh(ea[0] + et[0], ea[1] + et[1], ea[2] + et[2])
-                - sh(*et)
-                - sh(ea[0] - et[0], ea[1] - et[1], ea[2] - et[2])
-                + sh(-et[0], -et[1], -et[2])
-            )
-
-        def _tang(axis, t):
-            # offsets for the face accessor: the accessors take the two
-            # tangential axes in ascending order of axis id
-            others = [ax for ax in range(3) if ax != axis]
-            off = [0, 0]
-            off[others.index(t)] = 1
-            return off
-
-        mixed = 0.0
-        for axis, face_fn in ((0, bi), (1, bj), (2, bk)):
-            for f in (0, 1):
-                for t in [ax for ax in range(3) if ax != axis]:
-                    mixed = mixed + cross(face_fn, axis, f, t)
-
-        ax_out = -cfg.b * level.h2inv * (TWELFTH * main + 0.25 * TWELFTH * mixed)
+        ax_out = -cfg.b * level.h2inv * stencil_ax(sh, bi, bj, bk)
         if cfg.helmholtz:
-            ax_out = cfg.a * level.alpha * c + ax_out
+            ax_out = cfg.a * level.alpha * sh() + ax_out
         return ax_out
+
+    def gsrb_sweep(self, level: Level, x, rhs, cfg: SolverConfig,
+                   nsweeps: int):
+        """Fused GSRB half-sweeps via the Pallas kernel (unrolled so the
+        red/black parity is static per kernel — two compiled variants)."""
+        from hpgmg_tpu.kernels.stencils import (fv4_gsrb_sweep_pallas,
+                                                use_pallas)
+
+        if not use_pallas(cfg, level, x):
+            return NotImplemented
+        for s in range(nsweeps):
+            x = fv4_gsrb_sweep_pallas(level, x, rhs, cfg, s & 1)
+        return x
+
+    def residual(self, level: Level, x, rhs, cfg: SolverConfig):
+        from hpgmg_tpu.kernels.stencils import (fv4_residual_pallas,
+                                                use_pallas)
+
+        if use_pallas(cfg, level, x):
+            return fv4_residual_pallas(level, x, rhs, cfg)
+        return rhs - self.apply_op(level, x, cfg)
 
     def rebuild_operator(self, level: Level, cfg: SolverConfig) -> Level:
         # extend betas tangentially once per level (extrapolate_betas analog)

@@ -109,9 +109,10 @@ def shard_hierarchy(mesh: Mesh, hier):
             if arr is not None:
                 kw[name] = jax.device_put(
                     arr, level_sharding(mesh, lv.dim, face_axis))
-        if lv.lambda_max is not None:
-            kw["lambda_max"] = jax.device_put(
-                lv.lambda_max, NamedSharding(mesh, P()))
+        for name in ("lambda_max", "bottom_ainv"):
+            arr = getattr(lv, name)
+            if arr is not None:
+                kw[name] = jax.device_put(arr, NamedSharding(mesh, P()))
         new_levels.append(dataclasses.replace(lv, **kw))
     return Hierarchy(levels=new_levels)
 

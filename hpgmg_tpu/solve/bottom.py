@@ -28,6 +28,16 @@ def bottom_solve(op, level: Level, x, rhs, cfg: SolverConfig,
     """Dispatch (IterativeSolver, solvers.c:17-88). ``must_subtract_mean``
     projects out the constant null space of the periodic pure-Poisson
     operator after every residual update (bicgstab.c:32-35,58-61,81-84)."""
+    if cfg.bottom == BottomSolver.DIRECT:
+        assert level.bottom_ainv is not None, \
+            "DIRECT bottom requires build_hierarchy to precompute the inverse"
+        r = rhs
+        if must_subtract_mean:
+            r = r - blas.mean(r, cfg.reduce_dtype)
+        out = (level.bottom_ainv @ r.ravel()).reshape(level.shape)
+        if must_subtract_mean:
+            out = out - blas.mean(out, cfg.reduce_dtype)
+        return out
     if cfg.bottom == BottomSolver.BICGSTAB:
         return bicgstab(op, level, x, rhs, cfg, must_subtract_mean)
     if cfg.bottom == BottomSolver.CG:

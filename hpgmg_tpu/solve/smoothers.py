@@ -45,12 +45,19 @@ def gsrb(op, level: Level, x, rhs, cfg: SolverConfig):
     Sweep s updates cells with (i+j+k) % 2 == s % 2 (gsrb.c:55 with global
     coordinates, so color000 == s & 1).
     """
+    fused = getattr(op, "gsrb_sweep", None)
+    nsweeps = 2 * cfg.resolved_num_smooths(op)
+    if fused is not None:
+        out = fused(level, x, rhs, cfg, nsweeps)
+        if out is not NotImplemented:
+            return out
+
     def sweep(s, x):
         ax = op.apply_op(level, x, cfg)
         mask = rb_mask(level.dim, s, x.dtype)
         return x + mask * level.dinv * (rhs - ax)
 
-    return lax.fori_loop(0, 2 * cfg.resolved_num_smooths(op), sweep, x)
+    return lax.fori_loop(0, nsweeps, sweep, x)
 
 
 def jacobi(op, level: Level, x, rhs, cfg: SolverConfig,
