@@ -25,6 +25,11 @@ from hpgmg_tpu.core.config import (BC, BottomSolver, CycleType, Smoother,
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="TPU HPGMG-FV benchmark")
+    # reference-compatible positionals: hpgmg-fv [log2_box_dim]
+    # [target_boxes_per_rank] (hpgmg-fv.c:152-205); the global cube is
+    # box_dim * cbrt(boxes_per_device * n_devices), weak-scaling style
+    p.add_argument("log2_box_dim", nargs="?", type=int, default=None)
+    p.add_argument("target_boxes", nargs="?", type=int, default=None)
     p.add_argument("--n", type=int, default=128, help="fine grid dim (n^3)")
     p.add_argument("--op", default="fv4",
                    choices=["fv7pt", "fv2", "fv4", "27pt"])
@@ -58,6 +63,17 @@ def main(argv=None):
         cycle=CycleType(args.cycle),
         dtype=jnp.dtype(args.dtype),
     )
+    if args.log2_box_dim is not None:
+        import jax
+
+        boxes = args.target_boxes or 8
+        total_boxes = boxes * len(jax.devices())
+        per_axis = max(1, round(total_boxes ** (1.0 / 3.0)))
+        args.n = (2 ** args.log2_box_dim) * per_axis
+        print(f"  reference-style sizing: box_dim=2^{args.log2_box_dim}, "
+              f"{boxes} boxes/device x {len(jax.devices())} devices "
+              f"-> n={args.n}")
+
     print(f"  op={args.op} smoother={args.smoother} bottom={args.bottom} "
           f"n={args.n} dtype={args.dtype}")
     res = run_benchmark(args.n, cfg, dynamic_range=args.dynamic_range,
