@@ -36,8 +36,15 @@ class BenchResult:
 
 
 def _build(n: int, cfg: SolverConfig, mesh=None):
-    prob = init_problem_p6(n, dtype=cfg.dtype, a=cfg.a, b=cfg.b,
-                           helmholtz=cfg.helmholtz)
+    # the fv2/fv4 suites wire the cell-averaged sin^7 benchmark problem
+    # (problem.fv.c); the pointwise suites use problem.p6
+    if cfg.op in ("fv2", "fv4"):
+        from hpgmg_tpu.problems.fv import init_problem_fv
+
+        prob = init_problem_fv(n, dtype=cfg.dtype)
+    else:
+        prob = init_problem_p6(n, dtype=cfg.dtype, a=cfg.a, b=cfg.b,
+                               helmholtz=cfg.helmholtz)
     hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
                            alpha=prob.alpha)
     f = prob.f
@@ -48,7 +55,7 @@ def _build(n: int, cfg: SolverConfig, mesh=None):
 
 
 def run_benchmark(n: int, cfg: SolverConfig, mesh=None,
-                  min_solve_seconds: float = 1.0, max_solves: int = 50,
+                  min_solve_seconds: float = 1.0, max_solves: int = 100,
                   dynamic_range: int = 1, verbose: bool = True) -> BenchResult:
     op = get_suite(cfg.op)
     hier, f = _build(n, cfg, mesh)
