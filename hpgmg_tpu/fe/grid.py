@@ -10,7 +10,9 @@ sharded arrays get their halos from the SPMD partitioner.
 Key kernels:
 
 * extract_elements (DMFEExtractElements, grid.c:936): node array ->
-  batched element tensor (Mx, My, Mz, P, P, P) via P^3 strided slices.
+  batched element tensor (P, P, P, Mx, My, Mz) via P^3 strided slices
+  (local indices lead, element batch trails: the TPU analog of the
+  reference's ne-innermost SIMD ordering).
 * assemble_add (DMFESetElements ADD_VALUES, grid.c:969): the transpose
   scatter-add. Strided writes are expressed as an interleave-with-zeros
   reshape + ONE dense slice-add per local node offset — no scatter op, so
@@ -100,7 +102,12 @@ class FEGrid:
     # ------------------------------------------------------------------
 
     def extract_elements(self, u: jax.Array) -> jax.Array:
-        """(Nx,Ny,Nz) -> (Mx,My,Mz,P,P,P): element-local node values."""
+        """(Nx,Ny,Nz) -> (P,P,P, Mx,My,Mz): element-local node values.
+
+        Local (basis) indices lead and the element batch trails — the TPU
+        layout rule behind the reference's "ne innermost" SIMD ordering
+        (grid.c:933-935): the trailing two dims must be the large batch
+        dims or the (8,128) tiling pads small trailing dims by ~100x."""
         p = self.degree
         P = p + 1
         Mx, My, Mz = self.M
@@ -113,8 +120,8 @@ class FEGrid:
                 for k in range(P):
                     parts.append(lax.slice_in_dim(
                         uj, k, k + p * (Mz - 1) + 1, stride=p, axis=2))
-        E = jnp.stack(parts, axis=-1)  # (Mx,My,Mz, P^3)
-        return E.reshape(Mx, My, Mz, P, P, P)
+        E = jnp.stack(parts, axis=0)  # (P^3, Mx,My,Mz)
+        return E.reshape(P, P, P, Mx, My, Mz)
 
     def _strided_add_axis(self, v: jax.Array, y: jax.Array, offset: int,
                           axis: int) -> jax.Array:
@@ -144,14 +151,14 @@ class FEGrid:
         return v.at[tuple(sl_v)].add(dense[tuple(sl_d)])
 
     def assemble_add(self, E: jax.Array) -> jax.Array:
-        """(Mx,My,Mz,P,P,P) element contributions -> (Nx,Ny,Nz) node array,
+        """(P,P,P, Mx,My,Mz) element contributions -> (Nx,Ny,Nz) node array,
         overlapping nodes summed (LocalToGlobal ADD_VALUES)."""
         P = self.degree + 1
         v = jnp.zeros(self.nodes, E.dtype)
         for i in range(P):
             for j in range(P):
                 for k in range(P):
-                    y = E[..., i, j, k]
+                    y = E[i, j, k]
                     t = self._strided_add_axis(
                         jnp.zeros((self.nodes[0],) + y.shape[1:], y.dtype),
                         y, i, 0)

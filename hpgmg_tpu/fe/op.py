@@ -3,45 +3,72 @@
 Rebuild of op/op.c + op/op-poisson1.c. The per-8-element SIMD pipeline
 (OpApply_Poisson, op-poisson1.c:112-172) becomes batched einsums over ALL
 elements at once — the contraction
-``du[m,q1,q2,q3] = D[q1,i] B[q2,j] B[q3,k] u[m,i,j,k]`` is exactly an MXU
-batched matmul (the reference's tensor.c/tensor-avx512.c AVX kernels, E9).
+``du[q1,q2,q3, e...] = D[q1,i] B[q2,j] B[q3,k] u[i,j,k, e...]`` is an MXU
+batched matmul (the reference's tensor.c/tensor-avx512.c kernels, E9).
+
+TPU layout rule: local (basis/quad/tensor) indices LEAD and the element
+batch TRAILS — the trailing two dims of every array are the big My,Mz
+batch dims, so the (8,128) tiling never pads tiny 3x3 trailing dims (a
+(...,3,3)-trailing metric would be inflated ~57x by tile padding). This
+is the reference's "ne innermost" vectorization ordering (grid.c:933-935)
+mapped to the TPU. The 3x3 Jacobian inverse is the closed-form adjugate
+over leading axes (pointwise.h:7-39), never jnp.linalg on trailing dims.
 
 Registered op types mirror OpRegister/OpCreateFromOptions (op.c:443-517):
-poisson1 (Q1), poisson2 (Q2), poisson2affine (skips per-element metric
-recomputation by exploiting the affine geometry, op-poisson1.c:179-238),
-and project (mass-matrix L2 projection used by transfer tests,
-op-project.c).
+poisson1 (Q1), poisson2 (Q2), poisson2affine (exploits the affine
+geometry, op-poisson1.c:179-238), and project/project2 (mass-matrix L2
+projection used by transfer tests, op-project.c).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from hpgmg_tpu.fe.grid import FEGrid
 from hpgmg_tpu.fe.solutions import get_solution
 
 
 def _contract(E: jax.Array, mats) -> jax.Array:
-    """y[m1,m2,m3, q1,q2,q3] = A[q1,i] B[q2,j] C[q3,k] E[m1,m2,m3, i,j,k]
-    (TensorContract EVAL, tensor.c:3-61). Three batched matmuls -> MXU."""
+    """y[q1,q2,q3, e...] = A[q1,i] B[q2,j] C[q3,k] E[i,j,k, e...]
+    (TensorContract EVAL, tensor.c:3-61)."""
     A, B, C = mats
-    E = jnp.einsum("qi,mnoijk->mnoqjk", A, E)
-    E = jnp.einsum("qj,mnoijk->mnoiqk", B, E)
-    return jnp.einsum("qk,mnoijk->mnoijq", C, E)
+    E = jnp.einsum("qi,ijkmno->qjkmno", A, E)
+    E = jnp.einsum("qj,ijkmno->iqkmno", B, E)
+    return jnp.einsum("qk,ijkmno->ijqmno", C, E)
 
 
 def _contract_t(Y: jax.Array, mats) -> jax.Array:
-    """Transpose contraction (TENSOR_TRANSPOSE): accumulate quad-point data
-    back to element nodes."""
+    """Transpose contraction (TENSOR_TRANSPOSE): quad points -> nodes."""
     A, B, C = mats
-    Y = jnp.einsum("qi,mnoqjk->mnoijk", A, Y)
-    Y = jnp.einsum("qj,mnoiqk->mnoijk", B, Y)
-    return jnp.einsum("qk,mnoijq->mnoijk", C, Y)
+    Y = jnp.einsum("qi,qjkmno->ijkmno", A, Y)
+    Y = jnp.einsum("qj,iqkmno->ijkmno", B, Y)
+    return jnp.einsum("qk,ijqmno->ijkmno", C, Y)
+
+
+def _inv3x3(J):
+    """Closed-form inverse + determinant of a field of 3x3 matrices stored
+    with the matrix indices LEADING: J[a][c] is an array (the batched
+    analog of PointwiseJacobianInvert, pointwise.h:7-39).
+
+    Returns (Jinv as nested lists Jinv[c][a], det)."""
+    a = J
+    cof = [[None] * 3 for _ in range(3)]
+    # cofactor matrix of the 3x3 with rows a[0], a[1], a[2]
+    for r in range(3):
+        for c in range(3):
+            r1, r2 = [t for t in range(3) if t != r]
+            c1, c2 = [t for t in range(3) if t != c]
+            sign = 1.0 if (r + c) % 2 == 0 else -1.0
+            cof[r][c] = sign * (a[r1][c1] * a[r2][c2] - a[r1][c2] * a[r2][c1])
+    det = a[0][0] * cof[0][0] + a[0][1] * cof[0][1] + a[0][2] * cof[0][2]
+    idet = 1.0 / det
+    # inverse = adjugate / det; adj[c][r] = cof[r][c]
+    inv = [[cof[r][c] * idet for r in range(3)] for c in range(3)]
+    return inv, det
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,43 +86,55 @@ class FEOp:
         return (jnp.asarray(Bn, dtype), jnp.asarray(Dn, dtype),
                 jnp.asarray(w, dtype))
 
+    def _w3(self, grid: FEGrid, dtype):
+        _, _, w = self.tensors(grid, dtype)
+        Q = grid.ref.Q
+        return (w[:, None, None] * w[None, :, None]
+                * w[None, None, :]).reshape(Q, Q, Q, 1, 1, 1)
+
     # ------------------------------------------------------------------
-    # geometry: metric K[a,b] = w |J| (J^{-1} J^{-T})_{ab} at quad points
+    # geometry: metric K[a][b] = w |J| (J^{-1} J^{-T})_{ab} at quad points
     # ------------------------------------------------------------------
 
     def metric(self, grid: FEGrid, coords: jax.Array):
-        """Returns (K, wdxdet): K (Mx,My,Mz,Q,Q,Q,3,3) symmetric metric,
-        wdxdet (Mx,My,Mz,Q,Q,Q) quadrature weight x |J|
-        (PointwiseJacobianInvert, pointwise.h:7-39)."""
+        """(K, wdxdet): K stacked (3, 3, Q,Q,Q, Mx,My,Mz) — matrix indices
+        leading; wdxdet (Q,Q,Q, Mx,My,Mz)."""
         dtype = coords.dtype
         B, D, w = self.tensors(grid, dtype)
         mats = {0: (D, B, B), 1: (B, D, B), 2: (B, B, D)}
-        # J[a, c] = d x_c / d xi_a
         Xe = [grid.extract_elements(coords[c]) for c in range(3)]
-        J = jnp.stack([
-            jnp.stack([_contract(Xe[c], mats[a]) for c in range(3)], -1)
-            for a in range(3)], -2)  # (..., a, c)
-        det = jnp.linalg.det(J)
-        Jinv = jnp.linalg.inv(J)  # (..., xi_a per x?) inv of (a,c) -> (c,a)
-        w3 = (w[:, None, None] * w[None, :, None] * w[None, None, :])
-        wdxdet = det * w3
-        # K = |J| w (J^{-1} J^{-T}); with J[a,c]=dx_c/dxi_a, grad_x u =
-        # sum_a Jinv[c,a] du_a, so K[a,b] = wdxdet * sum_c Jinv[c,a] Jinv[c,b]
-        K = jnp.einsum("...ca,...cb->...ab", Jinv, Jinv) * wdxdet[..., None, None]
+        # J[a][c] = d x_c / d xi_a, each (Q,Q,Q, M...)
+        J = [[_contract(Xe[c], mats[a]) for c in range(3)] for a in range(3)]
+        Jinv, det = _inv3x3(J)  # Jinv[c][a] = d xi_a / d x_c
+        wdxdet = det * self._w3(grid, dtype)
+        # K[a][b] = wdxdet * sum_c Jinv[c][a] Jinv[c][b]
+        K = jnp.stack([
+            jnp.stack([wdxdet * sum(Jinv[c][a] * Jinv[c][b]
+                                    for c in range(3)) for b in range(3)])
+            for a in range(3)])
         return K, wdxdet
 
     def metric_affine(self, grid: FEGrid, dtype):
-        """Uniform-grid shortcut (poisson2affine): one constant diagonal
-        metric for all elements (op-poisson1.c:179-238)."""
-        _, _, w = self.tensors(grid, dtype)
+        """Uniform-grid shortcut (poisson2affine): constant diagonal metric
+        (op-poisson1.c:179-238). Returns (kdiag (3,), wdxdet (Q,Q,Q,1,1,1))."""
         hx = [grid.L[a] / grid.M[a] / 2.0 for a in range(3)]  # dx/dxi
         det = hx[0] * hx[1] * hx[2]
-        w3 = (w[:, None, None] * w[None, :, None] * w[None, None, :])
-        wdxdet = det * w3  # (Q,Q,Q)
-        # K = wdxdet * (J^{-1} J^{-T}) = wdxdet * diag(1/h_a^2); wdxdet is
-        # applied separately, so the diagonal factor is just 1/h^2
-        kdiag = jnp.stack([1.0 / (h * h) for h in hx])  # (3,)
+        wdxdet = det * self._w3(grid, dtype)
+        kdiag = jnp.stack(
+            [jnp.asarray(1.0 / (h * h), dtype) for h in hx])
         return kdiag, wdxdet
+
+    def make_metric(self, grid: FEGrid, coords: Optional[jax.Array], dtype):
+        if self.affine or coords is None:
+            return self.metric_affine(grid, dtype)
+        return self.metric(grid, coords)
+
+    def _apply_metric(self, metric, du):
+        """dv[a] = sum_b K[a,b] du[b]; du/dv are lists of 3 arrays."""
+        Ka, wdxdet = metric
+        if Ka.ndim == 1:  # affine diagonal
+            return [Ka[a] * wdxdet * du[a] for a in range(3)]
+        return [sum(Ka[a, b] * du[b] for b in range(3)) for a in range(3)]
 
     # ------------------------------------------------------------------
     # A(u)
@@ -103,47 +142,24 @@ class FEOp:
 
     def apply(self, grid: FEGrid, coords: Optional[jax.Array], u: jax.Array,
               metric=None) -> jax.Array:
-        """v = A u (OpApply_Poisson pipeline, op-poisson1.c:112-172).
-
-        ``metric`` may carry precomputed (K, wdxdet) to skip the geometry
-        contractions (the benchmark-relevant path; geometry is solve-
-        invariant)."""
+        """v = A u (OpApply_Poisson pipeline, op-poisson1.c:112-172)."""
         dtype = u.dtype
         B, D, w = self.tensors(grid, dtype)
         mats = {0: (D, B, B), 1: (B, D, B), 2: (B, B, D)}
+        if metric is None:
+            metric = self.make_metric(grid, coords, dtype)
 
         ue = grid.extract_elements(u)
-
         if self.mass_only:
-            if metric is None:
-                if self.affine or coords is None:
-                    _, wdxdet = self.metric_affine(grid, dtype)
-                else:
-                    _, wdxdet = self.metric(grid, coords)
-            else:
-                _, wdxdet = metric
+            _, wdxdet = metric
             uq = _contract(ue, (B, B, B))
-            vq = wdxdet * uq
-            ve = _contract_t(vq, (B, B, B))
+            ve = _contract_t(wdxdet * uq, (B, B, B))
             return grid.zero_boundaries(grid.assemble_add(ve))
 
-        du = jnp.stack([_contract(ue, mats[a]) for a in range(3)], -1)
-        if self.affine and metric is None:
-            kdiag, wdxdet = self.metric_affine(grid, dtype)
-            dv = du * (kdiag * wdxdet[None, None, None, ..., None])
-        elif metric is not None and metric[0].ndim == 1:
-            kdiag, wdxdet = metric
-            dv = du * (kdiag * wdxdet[None, None, None, ..., None])
-        else:
-            K, _ = self.metric(grid, coords) if metric is None else metric
-            dv = jnp.einsum("...ab,...b->...a", K, du)
-        ve = sum(_contract_t(dv[..., a], mats[a]) for a in range(3))
+        du = [_contract(ue, mats[a]) for a in range(3)]
+        dv = self._apply_metric(metric, du)
+        ve = sum(_contract_t(dv[a], mats[a]) for a in range(3))
         return grid.zero_boundaries(grid.assemble_add(ve))
-
-    def make_metric(self, grid: FEGrid, coords: Optional[jax.Array], dtype):
-        if self.affine or coords is None:
-            return self.metric_affine(grid, dtype)
-        return self.metric(grid, coords)
 
     # ------------------------------------------------------------------
     # forcing / solution / norms / diagonal
@@ -151,7 +167,7 @@ class FEOp:
 
     def _quad_coords(self, grid: FEGrid, coords: jax.Array):
         dtype = coords.dtype
-        B, D, w = self.tensors(grid, dtype)
+        B, _, _ = self.tensors(grid, dtype)
         return jnp.stack([
             _contract(grid.extract_elements(coords[c]), (B, B, B))
             for c in range(3)])
@@ -184,9 +200,10 @@ class FEOp:
         uex, _ = get_solution(solution)(xq, grid.L)
         uq = _contract(grid.extract_elements(u), (B, B, B))
         diff = uq - uex
+        wq = jnp.broadcast_to(wdxdet, uq.shape)
         e_max = jnp.max(jnp.abs(diff)) / jnp.max(jnp.abs(uex))
-        e_l2 = jnp.sqrt(jnp.sum(wdxdet * diff * diff)) \
-            / jnp.sqrt(jnp.sum(wdxdet * uex * uex))
+        e_l2 = jnp.sqrt(jnp.sum(wq * diff * diff)) \
+            / jnp.sqrt(jnp.sum(wq * uex * uex))
         return e_max, e_l2
 
     def diagonal(self, grid: FEGrid, coords: Optional[jax.Array],
@@ -198,31 +215,23 @@ class FEOp:
         if metric is None:
             metric = self.make_metric(grid, coords, dtype)
         P = grid.degree + 1
-        diag_elems = jnp.zeros(tuple(grid.M) + (P, P, P), dtype)
+        diag_elems = jnp.zeros((P, P, P) + tuple(grid.M), dtype)
         for i in range(P):
             for j in range(P):
                 for k in range(P):
-                    e = jnp.zeros((1, 1, 1, P, P, P), dtype).at[
-                        0, 0, 0, i, j, k].set(1.0)
-                    e = jnp.broadcast_to(e, tuple(grid.M) + (P, P, P))
+                    e = jnp.zeros((P, P, P, 1, 1, 1), dtype).at[
+                        i, j, k, 0, 0, 0].set(1.0)
+                    e = jnp.broadcast_to(e, (P, P, P) + tuple(grid.M))
                     if self.mass_only:
                         _, wdxdet = metric
                         uq = _contract(e, (B, B, B))
                         ve = _contract_t(wdxdet * uq, (B, B, B))
                     else:
-                        du = jnp.stack([_contract(e, mats[a])
-                                        for a in range(3)], -1)
-                        if metric[0].ndim == 1:
-                            kdiag, wdxdet = metric
-                            dv = du * (kdiag
-                                       * wdxdet[None, None, None, ..., None])
-                        else:
-                            K, _ = metric
-                            dv = jnp.einsum("...ab,...b->...a", K, du)
-                        ve = sum(_contract_t(dv[..., a], mats[a])
+                        du = [_contract(e, mats[a]) for a in range(3)]
+                        dv = self._apply_metric(metric, du)
+                        ve = sum(_contract_t(dv[a], mats[a])
                                  for a in range(3))
-                    diag_elems = diag_elems.at[..., i, j, k].set(
-                        ve[..., i, j, k])
+                    diag_elems = diag_elems.at[i, j, k].set(ve[i, j, k])
         d = grid.assemble_add(diag_elems)
         # constrained (boundary) nodes act as identity rows: diag = 1
         d = grid.zero_boundaries(d)

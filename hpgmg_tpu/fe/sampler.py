@@ -97,25 +97,37 @@ class SampleResult:
 
 
 def sample_on_grid(op: FEOp, M, degree: int, dtype=jnp.float32,
-                   repeat: int = 3, mintime: float = 0.1) -> SampleResult:
+                   repeat: int = 3, mintime: float = 0.1,
+                   chain: int = 20) -> SampleResult:
     """SampleOnGrid (sampler.c:114-240): build, warm up, run >= repeat
-    F-cycles and >= mintime, report the best."""
+    timed measurements of ``chain`` data-dependent F-cycles inside one
+    jitted program (single-launch timing; see bench/driver.py), report
+    the best."""
     mmax = max(M)
     L = tuple(m / mmax for m in M)
     grid = FEGrid(M=tuple(M), degree=degree, L=L)
     levels = build_fe_levels(grid, op, dtype=dtype)
     f = jax.jit(lambda L0: op.forcing(L0.grid, L0.coords, "sine"))(levels[0])
-    solve = jax.jit(lambda levels, f: fas_fcycle(op, levels, 0, f))
-    u = jax.block_until_ready(solve(levels, f))  # compile + warm
+
+    @jax.jit
+    def chained(levels, f):
+        def body(i, carry):
+            dep = carry
+            u = fas_fcycle(op, levels, 0, f + dep)
+            return 0.0 * u[1, 1, 1]
+
+        return jax.lax.fori_loop(0, chain, body, jnp.zeros((), f.dtype))
+
+    _ = float(chained(levels, f))  # compile + warm (host sync)
 
     best = float("inf")
     elapsed_total, runs = 0.0, 0
     while runs < repeat or elapsed_total < mintime:
         t0 = time.perf_counter()
-        u = jax.block_until_ready(solve(levels, f))
-        dt = time.perf_counter() - t0
+        _ = float(chained(levels, f))
+        dt = (time.perf_counter() - t0) / chain
         best = min(best, dt)
-        elapsed_total += dt
+        elapsed_total += dt * chain
         runs += 1
         if runs > 100:
             break

@@ -37,7 +37,7 @@ class TestGrid:
         g = FEGrid(M=(4, 4, 4), degree=1)
         ones = jnp.ones(g.nodes)
         E = g.extract_elements(ones)
-        assert E.shape == (4, 4, 4, 2, 2, 2)
+        assert E.shape == (2, 2, 2, 4, 4, 4)  # local leads, batch trails
         v = g.assemble_add(E)
         assert float(v[2, 2, 2]) == 8.0
         assert float(v[0, 0, 0]) == 1.0
@@ -52,7 +52,7 @@ class TestGrid:
         # element (1,2,3), local node (i,j,k) == global node (p*1+i, ...)
         for (i, j, k) in [(0, 0, 0), (p, p, p), (0, p, 1 % (p + 1))]:
             np.testing.assert_allclose(
-                float(E[1, 2, 3, i, j, k]),
+                float(E[i, j, k, 1, 2, 3]),
                 float(u[p * 1 + i, p * 2 + j, p * 3 + k]), rtol=1e-14)
 
 
