@@ -15,7 +15,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from hpgmg_tpu.core import blas
 from hpgmg_tpu.core.config import SolverConfig
 from hpgmg_tpu.core.hierarchy import build_hierarchy
 from hpgmg_tpu.ops.base import get_suite

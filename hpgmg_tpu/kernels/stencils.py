@@ -23,13 +23,10 @@ array; everything else falls back to the XLA path (use_pallas()).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from hpgmg_tpu.core.config import SolverConfig
 from hpgmg_tpu.core.level import Level

@@ -10,7 +10,6 @@ carried but unused (constant coefficient).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from hpgmg_tpu.core.config import SolverConfig
 from hpgmg_tpu.core.level import Level

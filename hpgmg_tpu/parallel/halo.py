@@ -27,8 +27,7 @@ let the caller overwrite, or wrap for periodic).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

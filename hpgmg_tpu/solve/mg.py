@@ -13,7 +13,7 @@ mg.c:1199-1222) is offered two ways:
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
