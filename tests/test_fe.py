@@ -229,3 +229,30 @@ class TestFAS:
         r = f - op.apply(L.grid, L.coords, u)
         rel = float(jnp.linalg.norm(r.ravel()) / jnp.linalg.norm(f.ravel()))
         assert rel < 1e-8, rel
+
+
+class TestFEOptions:
+    def test_added_quadrature_points(self):
+        """-add_quad_pts (fmg.c:71, TestAddedQuadPts analog): extra Gauss
+        points change nothing qualitative for affine geometry."""
+        op = get_fe_op("poisson2")
+        g = FEGrid(M=(4, 4, 4), degree=2, addquadpts=1)
+        assert g.ref.Q == 4
+        levels = build_fe_levels(g, op)
+        f = op.forcing(levels[0].grid, levels[0].coords, "sine")
+        u = fas_fcycle(op, levels, 0, f)
+        r2, emax, el2 = [float(x) for x in
+                         diagnostics(op, levels[0], f, u, "sine")]
+        assert r2 < 0.05 and el2 < 0.1, (r2, emax, el2)
+
+    def test_coordinate_distortion(self):
+        """-coord_distort (fmg.c:70, DMCoordDistort analog): the FMG cycle
+        still converges on a smoothly distorted mesh (non-affine metric)."""
+        op = get_fe_op("poisson2")
+        g = FEGrid(M=(4, 4, 4), degree=2)
+        levels = build_fe_levels(g, op, distort=0.05)
+        f = op.forcing(levels[0].grid, levels[0].coords, "sine")
+        u = fas_fcycle(op, levels, 0, f)
+        r2, emax, el2 = [float(x) for x in
+                         diagnostics(op, levels[0], f, u, "sine")]
+        assert r2 < 0.1 and el2 < 0.2, (r2, emax, el2)
