@@ -30,7 +30,10 @@ def main():
         a=0.0,
         b=1.0,
         smoother=Smoother.GSRB,
-        bottom=BottomSolver.BICGSTAB,
+        bottom=BottomSolver.DIRECT,  # exact dense bottom (one MXU matvec)
+        # 4^3 bottom: the exact direct solve makes the 2^3 tail levels pure
+        # overhead (reference MAX_COARSE_DIM=11 permits bottoms up to 11^3)
+        min_coarse_dim=4,
         dtype=jnp.float32,
     )
     res = run_benchmark(n, cfg, mesh=None, min_solve_seconds=2.0,
