@@ -53,6 +53,13 @@ class Level:
     # (dim^3, dim^3) dense (pseudo)inverse of the bottom operator for the
     # DIRECT bottom solver; None on non-bottom levels
     bottom_ainv: Optional[jax.Array] = None
+    # lane-aligned kernel-layout views of the face coefficients (trailing
+    # dim exactly n — see kernels/stencils.py:kernel_beta_views); populated
+    # by rebuild_operator on levels eligible for the Pallas path
+    kbi: Optional[jax.Array] = None  # (n+1, n+2, n)
+    kbj: Optional[jax.Array] = None  # (n+2, n+1, n)
+    kbk: Optional[jax.Array] = None  # (n+2, n+2, n) low k-faces
+    kbk_top: Optional[jax.Array] = None  # (n+2, n+2, 1) top face plane
 
     @property
     def shape(self):

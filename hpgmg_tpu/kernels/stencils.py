@@ -1,75 +1,108 @@
-"""Pallas TPU kernels for the hot FV stencils.
+"""Pallas TPU kernels for the hot fv4 stencils (phase 2: in-kernel BCs).
 
-Why: XLA fuses the 73-flop fv4 stencil into one loop but re-reads the
-ghost-padded solution from HBM once per shifted use (~36x) — measured
-~120 GB/s effective vs ~750 GB/s streaming on this chip. The Pallas kernel
-stages each input tile in VMEM once and does all shifted reads on-chip,
-which is exactly the reference's cache-blocking strategy (its OpenMP tile
-loop, operators.fv4.c:33) rebuilt for the TPU memory hierarchy.
+Why: the XLA path materializes a ghost-extended solution per stencil
+application (``ghost_fill_fv``) and reads coefficient arrays whose trailing
+extent is n+1/n+2 — on TPU a >128 lane row pads to the next multiple of
+128, so at n=128 every extended array streams ~2x its useful bytes, and
+the ghost fill itself costs a full extra read+write of the solution.
+Measured: ~150us ghost fill + ~170us stencil per GSRB half-sweep at 128^3
+vs ~90us speed-of-light.
 
-Phase-1 design:
-* the solution arrives ghost-filled (the separable quartic BC pass stays
-  in XLA — one cheap streaming op);
-* grid tiles (BI, BJ, full-k row); halo windows via ``pl.Element`` block
-  dims (overlapping reads, auto-pipelined);
-* one kernel body shared by apply / residual / GSRB (mode is static);
-* red-black parity masks from broadcasted iota + the tile's global offset
-  (the GSRB_FP trick, gsrb.c:78-87, computed on the VPU for free).
+Phase-2 design (replaces the phase-1 windowed kernel, which only matched
+XLA — see git history):
 
-The kernels require tile-divisible dims and an unsharded single-device
-array; everything else falls back to the XLA path (use_pallas()).
+* **No ghost materialization.** The solution arrives unpadded (n,n,n); the
+  separable quartic Dirichlet extension (apply_BCs_v4,
+  boundary_fv.c:262-569) is computed on-VMEM from the slab's halo window.
+* **Lane-aligned coefficients.** ``rebuild_operator`` stores kernel-layout
+  views whose trailing (lane) dim is exactly n: ``kbi`` (n+1, n+2, n) and
+  ``kbj`` (n+2, n+1, n) keep their tangential ghosts in the leading/sublane
+  axes (free / 8-sublane-rounded), ``kbk`` stores the low k-faces
+  (n+2, n+2, n) plus a 1-plane top cap (the n+1 face axis in lanes would
+  pad 2x; the high face of cell k is the low face of cell k+1 — one
+  in-kernel lane shift).
+  Only the k (lane) tangential ghost of kbi/kbj is rebuilt in-kernel (the
+  quintic extrapolation of extrapolate_betas, boundary_fv.c:651).
+* **1D slab grid over i** (the leading axis — the only one Mosaic lets us
+  window at halo granularity; the last two block dims must be 8/128
+  multiples or span the array). j/k span the level. Halo windows are
+  all-``pl.Element`` BlockSpecs with edge-clamped offsets; a 3-case switch
+  synthesizes the physical-boundary i-ghosts, and the j/k ghosts are built
+  for the full slab. k-shifted reads concatenate 1-2 ghost columns instead
+  of materializing an (n+4)-lane array (which would pad to the next 128
+  multiple).
+* One kernel body shared by apply / residual / GSRB (mode + red/black
+  parity are static; the parity mask is the GSRB_FP trick, gsrb.c:78-87,
+  from broadcasted iota + the slab's global offset).
+
+Unsupported here (XLA fallback): periodic BCs (ghosts need the opposite
+domain face — not in a local window), Helmholtz alpha term, dims outside
+the [32, ~256] VMEM-feasible band, non-fv4 suites.
 """
 
 from __future__ import annotations
 
 import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
-from hpgmg_tpu.core.config import SolverConfig
+from hpgmg_tpu.core.config import BC, SolverConfig
 from hpgmg_tpu.core.level import Level
 
 # flip in tests to run kernels on CPU via the Pallas interpreter
 INTERPRET = False
 
-_MIN_DIM = 32  # below this the XLA path is faster (tiles would be tiny)
-_MAX_DIM = 128  # VMEM budget: slabs carry full (n+4)^2 tails (see _fv4_call)
+_MIN_DIM = 32
+# Budget for the _vmem_bytes estimate. Empirical (v5e, n=128): the b=8
+# slab estimates 12.7MB and Mosaic OOMs; b=4 estimates 7.1MB and fits —
+# Mosaic's stack temporaries for the 21 shifted stencil reads are large.
+_VMEM_BUDGET = 11 * 2 ** 20
 
 
-def _tile_sizes(n: int):
-    """i-slab height: small enough that 4 double-buffered windows with
-    (n+4)-wide lane tails fit in ~14MB of VMEM."""
-    # budget: 4 double-buffered halo windows + io blocks + Mosaic's
-    # stack-allocated stencil temporaries must fit 16MB VMEM (measured:
-    # BI=8 at n=128 wants 22.5MB)
-    for bi in (4, 2):
-        if n % bi == 0 and (bi + 4) * (n + 8) * _round_lanes(n + 4) * 4 * 8 \
-                <= 11 * 2 ** 20 * 2:
-            return bi
+def _sub8(r: int) -> int:
+    return -(-r // 8) * 8
+
+
+def _vmem_bytes(n: int, b: int) -> int:
+    """Rough f32 VMEM footprint: double-buffered windows + the dominant
+    temporaries (extended solution slab and ~6 live stencil values).
+    Lanes (last dim) round up to 128, sublanes to 8 — a 64^3 level pays 2x
+    on every buffer."""
+    ln = -(-n // 128) * 128
+    win = ((b + 4) * n * ln                    # x halo window
+           + (b + 1) * _sub8(n + 2) * ln       # kbi
+           + (b + 2) * _sub8(n + 1) * ln       # kbj
+           + (b + 2) * _sub8(n + 2) * ln       # kbk (+ tiny top plane)
+           + 3 * b * n * ln)                   # rhs + dinv + out
+    tmp = (b + 4) * _sub8(n + 4) * ln + 6 * b * n * ln
+    return 4 * (2 * win + tmp)
+
+
+def slab_rows(n: int):
+    """i-slab height: the tallest divisor slab with >= 2 slabs (the
+    edge-case switch needs distinct first/last slabs) that fits VMEM.
+    Taller slabs amortize the +-2 halo re-read."""
+    for b in (32, 16, 8, 4, 2):
+        if n % b == 0 and n // b >= 2 and _vmem_bytes(n, b) <= _VMEM_BUDGET:
+            return b
     return None
 
 
-def _round_lanes(k: int) -> int:
-    return -(-k // 128) * 128
-
-
-def use_pallas(cfg: SolverConfig, level: Level, x) -> bool:
-    """Opt-in Pallas path (cfg.kernels == "pallas"): TPU backend, level in
-    the supported size band, tile-divisible dim.
-
-    Measured on this chip the phase-1 windowed kernel matches but does not
-    beat XLA's fused stencil (the pl.Element halo windows re-read (BI+4)/BI
-    of the solution and the ghost fill still materializes), so "auto"
-    currently selects XLA; the kernel stays as the base for the phase-2
-    sliding-window/BC-in-kernel design.
-    """
-    if getattr(cfg, "kernels", "auto") != "pallas" and not INTERPRET:
+def use_pallas(cfg: SolverConfig, level: Level, x=None) -> bool:
+    """Select the Pallas path: TPU backend (or interpreter in tests),
+    Dirichlet Poisson, kernel-layout coefficients present, supported size.
+    ``cfg.kernels``: "auto" (default; on for TPU), "pallas" (force),
+    "xla" (off)."""
+    if getattr(cfg, "kernels", "auto") == "xla":
         return False
-    if cfg.helmholtz:
-        return False  # alpha term not in the kernel yet
-    if not (_MIN_DIM <= level.dim <= _MAX_DIM) or _tile_sizes(level.dim) is None:
+    if cfg.helmholtz or cfg.bc != BC.DIRICHLET:
+        return False
+    if getattr(level, "kbi", None) is None:
+        return False
+    if level.dim < _MIN_DIM or slab_rows(level.dim) is None:
         return False
     if INTERPRET:
         return True
@@ -79,106 +112,221 @@ def use_pallas(cfg: SolverConfig, level: Level, x) -> bool:
         return False
 
 
-def _fv4_kernel(xg_ref, bi_ref, bj_ref, bk_ref, rhs_ref, dinv_ref, out_ref,
-                *, n, BI, mode, parity, b_h2inv):
-    """Shared fv4 stencil body on VMEM i-slabs (full j/k tails).
+# ---------------------------------------------------------------------------
+# in-kernel boundary extensions
+# ---------------------------------------------------------------------------
+
+def _v4_ghost_pair(w, axis: int, lo: bool):
+    """(g_near, g_far) quartic volume-averaged Dirichlet ghosts from the 4
+    cells nearest the boundary (boundary_fv.c:334-341)."""
+    m = w.shape[axis]
+    idx = (0, 1, 2, 3) if lo else (m - 1, m - 2, m - 3, m - 4)
+    x1, x2, x3, x4 = (lax.slice_in_dim(w, i, i + 1, axis=axis) for i in idx)
+    c = 1.0 / 12.0
+    g1 = c * (-77.0 * x1 + 43.0 * x2 - 17.0 * x3 + 3.0 * x4)
+    g2 = c * (-505.0 * x1 + 335.0 * x2 - 145.0 * x3 + 27.0 * x4)
+    return g1, g2
+
+
+def _quintic_ghost(w, axis: int, lo: bool):
+    """1-deep quintic extrapolation ghost for face coefficients
+    (extrapolate_betas, boundary_fv.c:651; domains here are always >= 5)."""
+    m = w.shape[axis]
+    idx = range(5) if lo else [m - 1 - i for i in range(5)]
+    c0, c1, c2, c3, c4 = (lax.slice_in_dim(w, i, i + 1, axis=axis)
+                          for i in idx)
+    return 5.0 * c0 - 10.0 * c1 + 10.0 * c2 - 5.0 * c3 + c4
+
+
+def _ext_slab_axis(w, b: int, t, nt: int):
+    """Turn a clamped i-halo window (b+4 rows) into the boundary-extended
+    slab: interior windows already hold [t*b-2, t*b+b+2); first/last
+    windows hold the domain edge and the two ghost rows are synthesized
+    with the v4 formulas. ``t`` is the traced slab index; the three
+    candidates are combined with exact 0/1 scalar masks because Mosaic
+    cannot legalize the scalar-predicate vector selects a lax.switch
+    lowers to."""
+    g1l, g2l = _v4_ghost_pair(w, 0, lo=True)
+    first = jnp.concatenate(
+        [g2l, g1l, lax.slice_in_dim(w, 0, b + 2, axis=0)], 0)
+    g1h, g2h = _v4_ghost_pair(w, 0, lo=False)
+    last = jnp.concatenate(
+        [lax.slice_in_dim(w, 2, b + 4, axis=0), g1h, g2h], 0)
+    mf = (t == 0).astype(w.dtype)
+    ml = (t == nt - 1).astype(w.dtype)
+    return mf * first + (1.0 - mf - ml) * w + ml * last
+
+
+def _lane_shift(core, glo, ghi, dk: int):
+    """Shifted lane read: ``core`` has exactly n lanes; ``glo``/``ghi`` are
+    the 1-2 boundary ghost columns ordered [far, near] / [near, far].
+    Concatenating columns keeps every value at <= n lanes (no pad)."""
+    n = core.shape[-1]
+    if dk == 0:
+        return core
+    if dk < 0:
+        g = lax.slice_in_dim(glo, glo.shape[-1] + dk, glo.shape[-1], axis=-1)
+        return jnp.concatenate([g, lax.slice_in_dim(core, 0, n + dk, axis=-1)],
+                               axis=-1)
+    g = lax.slice_in_dim(ghi, 0, dk, axis=-1)
+    return jnp.concatenate([lax.slice_in_dim(core, dk, n, axis=-1), g],
+                           axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# kernel body
+# ---------------------------------------------------------------------------
+
+def _fv4_kernel(*refs, n, b, nt, mode, parity, b_h2inv):
+    """Shared fv4 stencil body on a (b, n, n) i-slab.
 
     mode: 'apply' -> Ax; 'residual' -> rhs - Ax;
           'gsrb' -> x + mask(parity) * dinv * (rhs - Ax)
     """
     from hpgmg_tpu.ops.fv4 import stencil_ax
 
+    xw_ref, bi_ref, bj_ref, bk_ref, bktop_ref = refs[:5]
+    k = 5
+    rhs_ref = dinv_ref = None
+    if mode != "apply":
+        rhs_ref = refs[k]
+        k += 1
+    if mode == "gsrb":
+        dinv_ref = refs[k]
+        k += 1
+    out_ref = refs[k]
+
+    t = pl.program_id(0)
+
+    # separable boundary extension, same axis order as ghost_fill_fv:
+    # i (from interior), then j (reads i-ghosts), then k (reads both)
+    xi = _ext_slab_axis(xw_ref[...], b, t, nt)             # (b+4, n, n)
+    g1lo, g2lo = _v4_ghost_pair(xi, 1, lo=True)
+    g1hi, g2hi = _v4_ghost_pair(xi, 1, lo=False)
+    xj = jnp.concatenate([g2lo, g1lo, xi, g1hi, g2hi], 1)  # (b+4, n+4, n)
+    k1lo, k2lo = _v4_ghost_pair(xj, 2, lo=True)
+    k1hi, k2hi = _v4_ghost_pair(xj, 2, lo=False)
+    xglo = jnp.concatenate([k2lo, k1lo], axis=-1)
+    xghi = jnp.concatenate([k1hi, k2hi], axis=-1)
+
     def sh(di=0, dj=0, dk=0):
-        return xg_ref[2 + di:2 + di + BI, 2 + dj:2 + dj + n,
-                      2 + dk:2 + dk + n]
+        sub = lambda a: lax.slice(
+            a, (2 + di, 2 + dj, 0), (2 + di + b, 2 + dj + n, a.shape[2]))
+        return _lane_shift(sub(xj), sub(xglo), sub(xghi), dk)
+
+    # face coefficients: tangential i/j ghosts are baked into storage;
+    # only the lane (k) ghost of kbi/kbj is rebuilt here
+    ebi, ebj = bi_ref[...], bj_ref[...]
+    bi_glo = _quintic_ghost(ebi, 2, lo=True)
+    bi_ghi = _quintic_ghost(ebi, 2, lo=False)
+    bj_glo = _quintic_ghost(ebj, 2, lo=True)
+    bj_ghi = _quintic_ghost(ebj, 2, lo=False)
 
     def bi(f, dj=0, dk=0):
-        return bi_ref[f:f + BI, 1 + dj:1 + dj + n, 1 + dk:1 + dk + n]
+        sub = lambda a: lax.slice(
+            a, (f, 1 + dj, 0), (f + b, 1 + dj + n, a.shape[2]))
+        return _lane_shift(sub(ebi), sub(bi_glo), sub(bi_ghi), dk)
 
     def bj(f, di=0, dk=0):
-        return bj_ref[1 + di:1 + di + BI, f:f + n, 1 + dk:1 + dk + n]
+        sub = lambda a: lax.slice(
+            a, (1 + di, f, 0), (1 + di + b, f + n, a.shape[2]))
+        return _lane_shift(sub(ebj), sub(bj_glo), sub(bj_ghi), dk)
 
     def bk(f, di=0, dj=0):
-        return bk_ref[1 + di:1 + di + BI, 1 + dj:1 + dj + n, f:f + n]
+        core = bk_ref[1 + di:1 + di + b, 1 + dj:1 + dj + n, :]
+        if not f:
+            return core
+        # high face of cell k = low face of cell k+1; top plane caps k=n-1
+        top = bktop_ref[1 + di:1 + di + b, 1 + dj:1 + dj + n, :]
+        return _lane_shift(core, None, top, 1)
 
     ax = -b_h2inv * stencil_ax(sh, bi, bj, bk)
 
     if mode == "apply":
-        out_ref[:] = ax
+        out_ref[...] = ax
         return
     if mode == "residual":
-        out_ref[:] = rhs_ref[:] - ax
+        out_ref[...] = rhs_ref[...] - ax
         return
 
     # GSRB masked update; global parity from the slab's grid position
-    # ((i+j+k+parity) & 1 == 0 updates -- gsrb.c:55 in global coordinates)
-    i0 = pl.program_id(0) * BI
-    ii = lax.broadcasted_iota(jnp.int32, (BI, n, n), 0) + i0
-    jj = lax.broadcasted_iota(jnp.int32, (BI, n, n), 1)
-    kk = lax.broadcasted_iota(jnp.int32, (BI, n, n), 2)
+    # ((i+j+k+parity) & 1 == 0 updates — gsrb.c:55 in global coordinates)
+    ii = lax.broadcasted_iota(jnp.int32, (b, n, n), 0) + t * b
+    jj = lax.broadcasted_iota(jnp.int32, (b, n, n), 1)
+    kk = lax.broadcasted_iota(jnp.int32, (b, n, n), 2)
     mask = (((ii + jj + kk + parity) & 1) == 0).astype(out_ref.dtype)
-    out_ref[:] = sh() + mask * dinv_ref[:] * (rhs_ref[:] - ax)
+    out_ref[...] = sh() + mask * dinv_ref[...] * (rhs_ref[...] - ax)
 
 
-def _fv4_call(level: Level, xg, rhs, dinv, cfg: SolverConfig, mode: str,
+def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str,
               parity: int = 0):
     n = level.dim
-    BI = _tile_sizes(n)
-    dtype = xg.dtype
-    zeros = jnp.zeros(level.shape, dtype)
-    rhs = zeros if rhs is None else rhs
-    dinv = zeros if dinv is None else dinv
-
+    b = slab_rows(n)
+    nt = n // b
     kernel = functools.partial(
-        _fv4_kernel, n=n, BI=BI, mode=mode, parity=parity,
+        _fv4_kernel, n=n, b=b, nt=nt, mode=mode, parity=parity,
         b_h2inv=cfg.b * level.h2inv)
 
-    # i-slab windows: the leading dim uses overlapping pl.Element windows
-    # (halo +-2); the trailing two dims of every block equal the respective
-    # array dims, satisfying the Mosaic (8,128) tiling constraint.
-    out = pl.pallas_call(
+    E = pl.Element
+
+    in_specs = [
+        pl.BlockSpec((E(b + 4), E(n), E(n)),
+                     lambda t: (jnp.clip(t * b - 2, 0, n - b - 4), 0, 0)),
+        pl.BlockSpec((E(b + 1), E(n + 2), E(n)), lambda t: (t * b, 0, 0)),
+        pl.BlockSpec((E(b + 2), E(n + 1), E(n)), lambda t: (t * b, 0, 0)),
+        pl.BlockSpec((E(b + 2), E(n + 2), E(n)), lambda t: (t * b, 0, 0)),
+        pl.BlockSpec((E(b + 2), E(n + 2), E(1)), lambda t: (t * b, 0, 0)),
+    ]
+    args = [x, level.kbi, level.kbj, level.kbk, level.kbk_top]
+    slab_spec = pl.BlockSpec((b, n, n), lambda t: (t, 0, 0))
+    if mode != "apply":
+        in_specs.append(slab_spec)
+        args.append(rhs)
+    if mode == "gsrb":
+        in_specs.append(slab_spec)
+        args.append(dinv)
+
+    return pl.pallas_call(
         kernel,
-        grid=(n // BI,),
-        in_specs=[
-            pl.BlockSpec((pl.Element(BI + 4), pl.Element(n + 4),
-                          pl.Element(n + 4)), lambda i: (i * BI, 0, 0)),
-            pl.BlockSpec((pl.Element(BI + 1), pl.Element(n + 2),
-                          pl.Element(n + 2)), lambda i: (i * BI, 0, 0)),
-            pl.BlockSpec((pl.Element(BI + 2), pl.Element(n + 1),
-                          pl.Element(n + 2)), lambda i: (i * BI, 0, 0)),
-            pl.BlockSpec((pl.Element(BI + 2), pl.Element(n + 2),
-                          pl.Element(n + 1)), lambda i: (i * BI, 0, 0)),
-            pl.BlockSpec((BI, n, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((BI, n, n), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((BI, n, n), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(level.shape, dtype),
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=slab_spec,
+        out_shape=jax.ShapeDtypeStruct(level.shape, x.dtype),
         interpret=INTERPRET,
-    )(xg, level.beta_i, level.beta_j, level.beta_k, rhs, dinv)
-    return out
+    )(*args)
 
 
 def fv4_apply_pallas(level: Level, x, cfg: SolverConfig):
-    from hpgmg_tpu.ops.bc_fv import ghost_fill_fv
-
-    xg = ghost_fill_fv(x, cfg.bc, order=4, radius=2)
-    ax = _fv4_call(level, xg, None, None, cfg, "apply")
-    if cfg.helmholtz:
-        ax = cfg.a * level.alpha * x + ax
-    return ax
+    return _fv4_call(level, x, None, None, cfg, "apply")
 
 
 def fv4_residual_pallas(level: Level, x, rhs, cfg: SolverConfig):
-    from hpgmg_tpu.ops.bc_fv import ghost_fill_fv
-
-    xg = ghost_fill_fv(x, cfg.bc, order=4, radius=2)
-    return _fv4_call(level, xg, rhs, None, cfg, "residual")
+    return _fv4_call(level, x, rhs, None, cfg, "residual")
 
 
 def fv4_gsrb_sweep_pallas(level: Level, x, rhs, cfg: SolverConfig,
                           parity: int):
-    """One GSRB half-sweep: ghost fill (XLA) + fused stencil/mask/update."""
-    from hpgmg_tpu.ops.bc_fv import ghost_fill_fv
+    """One GSRB half-sweep, boundary fill fused into the stencil kernel."""
+    return _fv4_call(level, x, rhs, level.dinv, cfg, "gsrb", parity)
 
-    xg = ghost_fill_fv(x, cfg.bc, order=4, radius=2)
-    return _fv4_call(level, xg, rhs, level.dinv, cfg, "gsrb", parity)
+
+# ---------------------------------------------------------------------------
+# kernel-layout coefficient views (stored on Level by rebuild_operator)
+# ---------------------------------------------------------------------------
+
+def kernel_beta_views(beta_i_ext, beta_j_ext, beta_k_ext):
+    """Slice the tangentially-extended face coefficients into the
+    lane-aligned kernel layout (trailing dim exactly n):
+
+    kbi (n+1, n+2, n): i-faces, j-ghosts in sublanes, k-ghosts dropped
+    kbj (n+2, n+1, n): i-ghosts leading, j-faces in sublanes
+    kbk (n+2, n+2, n) + kbk_top (n+2, n+2, 1): k-faces — the face axis in
+        lanes would pad n+1 -> 2x, so store the low faces plus the single
+        top plane; the high face of cell k is the low face of cell k+1
+        (one in-kernel lane shift)
+    """
+    kbi = beta_i_ext[:, :, 1:-1]
+    kbj = beta_j_ext[:, :, 1:-1]
+    kbk = beta_k_ext[:, :, :-1]
+    kbk_top = beta_k_ext[:, :, -1:]
+    return kbi, kbj, kbk, kbk_top

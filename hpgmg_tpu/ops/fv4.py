@@ -25,7 +25,7 @@ import dataclasses
 
 import jax
 
-from hpgmg_tpu.core.config import SolverConfig
+from hpgmg_tpu.core.config import BC, SolverConfig
 from hpgmg_tpu.core.level import Level
 from hpgmg_tpu.ops import base
 from hpgmg_tpu.ops.bc_fv import extend_beta_tangential, ghost_fill_fv
@@ -158,6 +158,9 @@ class FV4(base.OperatorSuite):
         return rhs - self.apply_op(level, x, cfg)
 
     def rebuild_operator(self, level: Level, cfg: SolverConfig) -> Level:
+        from hpgmg_tpu.kernels.stencils import (_MIN_DIM, kernel_beta_views,
+                                                slab_rows)
+
         # extend betas tangentially once per level (extrapolate_betas analog)
         lv = dataclasses.replace(
             level,
@@ -165,4 +168,15 @@ class FV4(base.OperatorSuite):
             beta_j=extend_beta_tangential(level.beta_j, 1, cfg.bc),
             beta_k=extend_beta_tangential(level.beta_k, 2, cfg.bc),
         )
-        return rebuild_blackbox(self, lv, cfg, colors=4)
+        lv = rebuild_blackbox(self, lv, cfg, colors=4)
+        # attach the lane-aligned Pallas coefficient views LAST so the
+        # blackbox probe sweeps above stay on the XLA path (kbi is the
+        # use_pallas gate; tracing dozens of probe kernels into the one-time
+        # build program would bloat/crash the compile)
+        if (cfg.kernels != "xla" and cfg.bc == BC.DIRICHLET
+                and level.dim >= _MIN_DIM and slab_rows(level.dim)):
+            kbi, kbj, kbk, kbk_top = kernel_beta_views(
+                lv.beta_i, lv.beta_j, lv.beta_k)
+            lv = dataclasses.replace(lv, kbi=kbi, kbj=kbj, kbk=kbk,
+                                     kbk_top=kbk_top)
+        return lv

@@ -113,6 +113,10 @@ def shard_hierarchy(mesh: Mesh, hier):
             arr = getattr(lv, name)
             if arr is not None:
                 kw[name] = jax.device_put(arr, NamedSharding(mesh, P()))
+        # drop the single-chip Pallas coefficient views: the kernels are not
+        # used on sharded levels and the views would otherwise ride along as
+        # replicated dead weight
+        kw.update(kbi=None, kbj=None, kbk=None, kbk_top=None)
         new_levels.append(dataclasses.replace(lv, **kw))
     return Hierarchy(levels=new_levels)
 

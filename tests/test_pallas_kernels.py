@@ -1,8 +1,10 @@
 """Pallas stencil kernels vs the XLA reference path (interpreter mode).
 
-The kernels are exercised through the Pallas interpreter on CPU so the
-suite stays hardware-independent; on-TPU parity was verified manually
-(rel err 0.0 at 128^3).
+The phase-2 kernels compute the v4 boundary extension in-kernel, so the
+parity tests cover the regimes where that logic differs: edge vs interior
+tiles on both tiled axes and all red/black parities. Exercised through the
+Pallas interpreter on CPU so the suite stays hardware-independent; on-TPU
+parity is verified by the solve-level golden tests when run on hardware.
 """
 
 import jax
@@ -28,27 +30,44 @@ def interpret_mode():
 @pytest.fixture(scope="module")
 def setup():
     cfg = SolverConfig(op="fv4", a=0.0, dtype=jnp.float64)
-    prob = init_problem_fv(32, dtype=jnp.float64)
+    # n=48 -> 16^3 tiles in a 3x3 grid: first/interior/last tile
+    # cases are all exercised on both tiled axes
+    prob = init_problem_fv(48, dtype=jnp.float64)
     hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
                            alpha=prob.alpha)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((32, 32, 32)))
+    x = jnp.asarray(rng.standard_normal((48, 48, 48)))
     return cfg, prob, hier, get_suite("fv4"), x
+
+
+def test_use_pallas_gating(setup):
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    assert lv.kbi is not None and K.use_pallas(cfg, lv, x)
+    # too-small levels never get the kernel layout
+    assert all(l.kbi is None for l in hier.levels if l.dim < K._MIN_DIM)
+    import dataclasses
+    assert not K.use_pallas(dataclasses.replace(cfg, kernels="xla"), lv, x)
 
 
 def test_apply_matches_xla(setup):
     cfg, prob, hier, op, x = setup
     lv = hier.levels[0]
-    ref = op.apply_op(lv, x, cfg)
+    ref = op.apply_op(lv, x, dataclasses_xla(cfg))
     out = K.fv4_apply_pallas(lv, x, cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-10)
 
 
+def dataclasses_xla(cfg):
+    import dataclasses
+    return dataclasses.replace(cfg, kernels="xla")
+
+
 def test_residual_matches_xla(setup):
     cfg, prob, hier, op, x = setup
     lv = hier.levels[0]
-    ref = prob.f - op.apply_op(lv, x, cfg)
+    ref = prob.f - op.apply_op(lv, x, dataclasses_xla(cfg))
     out = K.fv4_residual_pallas(lv, x, prob.f, cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-10)
@@ -58,8 +77,8 @@ def test_residual_matches_xla(setup):
 def test_gsrb_sweep_matches_xla(setup, parity):
     cfg, prob, hier, op, x = setup
     lv = hier.levels[0]
-    ax = op.apply_op(lv, x, cfg)
-    ref = x + rb_mask(32, parity, x.dtype) * lv.dinv * (prob.f - ax)
+    ax = op.apply_op(lv, x, dataclasses_xla(cfg))
+    ref = x + rb_mask(48, parity, x.dtype) * lv.dinv * (prob.f - ax)
     out = K.fv4_gsrb_sweep_pallas(lv, x, prob.f, cfg, parity)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-12)
