@@ -60,6 +60,10 @@ class Level:
     kbj: Optional[jax.Array] = None  # (n+2, n+1, n)
     kbk: Optional[jax.Array] = None  # (n+2, n+2, n) low k-faces
     kbk_top: Optional[jax.Array] = None  # (n+2, n+2, 1) top face plane
+    # (red, black) dinv with the GSRB parity mask pre-folded in (zeros at
+    # non-updated cells) — the GSRB_FP mask plane (level.c:1213-1241)
+    # moved to build time
+    kdinv: Optional[tuple] = None
 
     @property
     def shape(self):

@@ -174,17 +174,119 @@ def _lane_shift(core, glo, ghi, dk: int):
 
 
 # ---------------------------------------------------------------------------
+# flux-form stencil
+# ---------------------------------------------------------------------------
+
+def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
+             ebk, ebk_top, b: int, n: int):
+    """fv4 A(u) in telescoping flux form (the reference's flux formulation,
+    operators.flux.c / operators/gsrb.flux.c): per face
+    ``TF = beta_f*(15*d1 - dbig) + 0.25*(G_t1 + G_t2)`` with
+    ``d1 = u_hi - u_lo``, ``dbig = u_hihi - u_lolo`` and mixed-derivative
+    flux ``G_t = (beta_f(t+1) - beta_f(t-1)) * (d1(t+1) - d1(t-1))``; each
+    cell's contribution is ``TF(face+1) - TF(face)``. Algebraically equal
+    to ops/fv4.py:stencil_ax (each interior face flux is shared by its two
+    cells).
+
+    The mixed fluxes are built from the three *central-difference fields*
+    ``cd_a = u(a+1) - u(a-1)`` computed once and shared: for a face along
+    axis ``a`` with tangential ``t``, ``d1(t+1) - d1(t-1) = cd_t(m) -
+    cd_t(m-1)`` — one subtraction (and the axis-i G diffs ride the free
+    leading axis). Measured on v5e the naive per-axis G evaluation cost
+    ~2x the whole main term; this form roughly halves the kernel's VPU
+    work, which (not HBM) is the binding constraint.
+
+    Index conventions: ``xj`` is the (b+4, n+4, n) i/j-extended slab with
+    k ghost columns ``xglo``/``xghi`` ([far, near] / [near, far]); ext
+    index = local cell + 2. Face m along an axis sits between cells m-1
+    and m. Returns main + 0.25*mixed (caller applies TWELFTH and
+    -b*h2inv), matching stencil_ax's grouping.
+    """
+    def sl(a, i0, i1, j0, j1):
+        return lax.slice(a, (i0, j0, 0), (i1, j1, a.shape[2]))
+
+    q = 0.25
+
+    # central-difference fields (ext index = cell + 2)
+    # cdi[r, j, k] = x(i+1) - x(i-1) at i = r,  i in [0, b),  j in [-1, n]
+    cdi = sl(xj, 3, b + 3, 1, n + 3) - sl(xj, 1, b + 1, 1, n + 3)
+    cdi_glo = (sl(xglo, 3, b + 3, 1, n + 3)
+               - sl(xglo, 1, b + 1, 1, n + 3))[..., 1:]
+    cdi_ghi = (sl(xghi, 3, b + 3, 1, n + 3)
+               - sl(xghi, 1, b + 1, 1, n + 3))[..., :1]
+    # cdj[r, j, k] = x(j+1) - x(j-1),  i in [-1, b],  j in [0, n)
+    cdj = sl(xj, 1, b + 3, 3, n + 3) - sl(xj, 1, b + 3, 1, n + 1)
+    cdj_glo = (sl(xglo, 1, b + 3, 3, n + 3)
+               - sl(xglo, 1, b + 3, 1, n + 1))[..., 1:]
+    cdj_ghi = (sl(xghi, 1, b + 3, 3, n + 3)
+               - sl(xghi, 1, b + 3, 1, n + 1))[..., :1]
+    # cdk = x(k+1) - x(k-1),  i in [-1, b],  j in [-1, n]
+    xt = sl(xj, 1, b + 3, 1, n + 3)
+    cdk = (_lane_shift(xt, sl(xglo, 1, b + 3, 1, n + 3),
+                       sl(xghi, 1, b + 3, 1, n + 3), 1)
+           - _lane_shift(xt, sl(xglo, 1, b + 3, 1, n + 3),
+                         sl(xghi, 1, b + 3, 1, n + 3), -1))
+
+    # ---- i faces: m in [0, b+1) between cells m-1, m ----
+    d1 = sl(xj, 2, b + 3, 2, n + 2) - sl(xj, 1, b + 2, 2, n + 2)
+    dbig = sl(xj, 3, b + 4, 2, n + 2) - sl(xj, 0, b + 1, 2, n + 2)
+    bc = ebi[:, 1:n + 1, :]
+    # G diffs across the face ride the free leading axis: cd_t(m)-cd_t(m-1)
+    gj = (ebi[:, 2:, :] - ebi[:, :-2, :]) * (cdj[1:] - cdj[:-1])
+    gk = ((_lane_shift(bc, bi_glo[:, 1:n + 1], bi_ghi[:, 1:n + 1], 1)
+           - _lane_shift(bc, bi_glo[:, 1:n + 1], bi_ghi[:, 1:n + 1], -1))
+          * (cdk[1:, 1:n + 1] - cdk[:-1, 1:n + 1]))
+    tf = bc * (15.0 * d1 - dbig) + q * (gj + gk)            # (b+1, n, n)
+    ax = tf[1:] - tf[:-1]
+
+    # ---- j faces: m in [0, n+1) ----
+    d1 = sl(xj, 2, b + 2, 2, n + 3) - sl(xj, 2, b + 2, 1, n + 2)
+    dbig = sl(xj, 2, b + 2, 3, n + 4) - sl(xj, 2, b + 2, 0, n + 1)
+    bc = ebj[1:b + 1]
+    gi = (ebj[2:] - ebj[:-2]) * (cdi[:, 1:, :] - cdi[:, :-1, :])
+    gk = ((_lane_shift(bc, bj_glo[1:b + 1], bj_ghi[1:b + 1], 1)
+           - _lane_shift(bc, bj_glo[1:b + 1], bj_ghi[1:b + 1], -1))
+          * (cdk[1:b + 1, 1:] - cdk[1:b + 1, :-1]))
+    tf = bc * (15.0 * d1 - dbig) + q * (gi + gk)            # (b, n+1, n)
+    ax = ax + tf[:, 1:, :] - tf[:, :-1, :]
+
+    # ---- k faces: m in [0, n) in lanes + the top face plane ----
+    xcc = sl(xj, 2, b + 2, 2, n + 2)                        # (b, n, n)
+    gloc = sl(xglo, 2, b + 2, 2, n + 2)
+    ghic = sl(xghi, 2, b + 2, 2, n + 2)
+    d1 = xcc - _lane_shift(xcc, gloc, ghic, -1)
+    d1_top = ghic[..., :1] - xcc[..., n - 1:]
+    dbig = (_lane_shift(xcc, gloc, ghic, 1)
+            - _lane_shift(xcc, gloc, ghic, -2))
+    dbig_top = ghic[..., 1:] - xcc[..., n - 2:n - 1]
+    bc = ebk[1:b + 1, 1:n + 1, :]
+    cdic = cdi[:, 1:n + 1, :]
+    cdjc = cdj[1:b + 1]
+    cdi_m1 = _lane_shift(cdic, cdi_glo[:, 1:n + 1], cdi_ghi[:, 1:n + 1], -1)
+    cdj_m1 = _lane_shift(cdjc, cdj_glo[1:b + 1], cdj_ghi[1:b + 1], -1)
+    gi = (ebk[2:, 1:n + 1] - ebk[:-2, 1:n + 1]) * (cdic - cdi_m1)
+    gj = (ebk[1:b + 1, 2:] - ebk[1:b + 1, :-2]) * (cdjc - cdj_m1)
+    tf = bc * (15.0 * d1 - dbig) + q * (gi + gj)            # (b, n, n)
+    gi_t = ((ebk_top[2:, 1:n + 1] - ebk_top[:-2, 1:n + 1])
+            * (cdi_ghi[:, 1:n + 1] - cdic[..., n - 1:]))
+    gj_t = ((ebk_top[1:b + 1, 2:] - ebk_top[1:b + 1, :-2])
+            * (cdj_ghi[1:b + 1] - cdjc[..., n - 1:]))
+    tf_top = (ebk_top[1:b + 1, 1:n + 1]
+              * (15.0 * d1_top - dbig_top) + q * (gi_t + gj_t))
+    ax = ax + _lane_shift(tf, None, tf_top, 1) - tf
+    return ax
+
+
+# ---------------------------------------------------------------------------
 # kernel body
 # ---------------------------------------------------------------------------
 
-def _fv4_kernel(*refs, n, b, nt, mode, parity, b_h2inv):
+def _fv4_kernel(*refs, n, b, nt, mode, b_h2inv):
     """Shared fv4 stencil body on a (b, n, n) i-slab.
 
     mode: 'apply' -> Ax; 'residual' -> rhs - Ax;
-          'gsrb' -> x + mask(parity) * dinv * (rhs - Ax)
+          'gsrb' -> x + kdinv[parity] * (rhs - Ax)
     """
-    from hpgmg_tpu.ops.fv4 import stencil_ax
-
     xw_ref, bi_ref, bj_ref, bk_ref, bktop_ref = refs[:5]
     k = 5
     rhs_ref = dinv_ref = None
@@ -209,11 +311,6 @@ def _fv4_kernel(*refs, n, b, nt, mode, parity, b_h2inv):
     xglo = jnp.concatenate([k2lo, k1lo], axis=-1)
     xghi = jnp.concatenate([k1hi, k2hi], axis=-1)
 
-    def sh(di=0, dj=0, dk=0):
-        sub = lambda a: lax.slice(
-            a, (2 + di, 2 + dj, 0), (2 + di + b, 2 + dj + n, a.shape[2]))
-        return _lane_shift(sub(xj), sub(xglo), sub(xghi), dk)
-
     # face coefficients: tangential i/j ghosts are baked into storage;
     # only the lane (k) ghost of kbi/kbj is rebuilt here
     ebi, ebj = bi_ref[...], bj_ref[...]
@@ -222,25 +319,9 @@ def _fv4_kernel(*refs, n, b, nt, mode, parity, b_h2inv):
     bj_glo = _quintic_ghost(ebj, 2, lo=True)
     bj_ghi = _quintic_ghost(ebj, 2, lo=False)
 
-    def bi(f, dj=0, dk=0):
-        sub = lambda a: lax.slice(
-            a, (f, 1 + dj, 0), (f + b, 1 + dj + n, a.shape[2]))
-        return _lane_shift(sub(ebi), sub(bi_glo), sub(bi_ghi), dk)
-
-    def bj(f, di=0, dk=0):
-        sub = lambda a: lax.slice(
-            a, (1 + di, f, 0), (1 + di + b, f + n, a.shape[2]))
-        return _lane_shift(sub(ebj), sub(bj_glo), sub(bj_ghi), dk)
-
-    def bk(f, di=0, dj=0):
-        core = bk_ref[1 + di:1 + di + b, 1 + dj:1 + dj + n, :]
-        if not f:
-            return core
-        # high face of cell k = low face of cell k+1; top plane caps k=n-1
-        top = bktop_ref[1 + di:1 + di + b, 1 + dj:1 + dj + n, :]
-        return _lane_shift(core, None, top, 1)
-
-    ax = -b_h2inv * stencil_ax(sh, bi, bj, bk)
+    ax = (-b_h2inv / 12.0) * _flux_ax(
+        xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
+        bk_ref[...], bktop_ref[...], b, n)
 
     if mode == "apply":
         out_ref[...] = ax
@@ -249,22 +330,22 @@ def _fv4_kernel(*refs, n, b, nt, mode, parity, b_h2inv):
         out_ref[...] = rhs_ref[...] - ax
         return
 
-    # GSRB masked update; global parity from the slab's grid position
-    # ((i+j+k+parity) & 1 == 0 updates — gsrb.c:55 in global coordinates)
-    ii = lax.broadcasted_iota(jnp.int32, (b, n, n), 0) + t * b
-    jj = lax.broadcasted_iota(jnp.int32, (b, n, n), 1)
-    kk = lax.broadcasted_iota(jnp.int32, (b, n, n), 2)
-    mask = (((ii + jj + kk + parity) & 1) == 0).astype(out_ref.dtype)
-    out_ref[...] = sh() + mask * dinv_ref[...] * (rhs_ref[...] - ax)
+    # GSRB masked update: the red/black mask is pre-folded into the
+    # per-parity dinv field (kdinv, zeros at non-updated cells) — the
+    # GSRB_FP trick (gsrb.c:78-87) moved to MGBuild time, saving ~5 VPU
+    # passes of in-kernel iota/mask work per half-sweep
+    xc = xj[2:2 + b, 2:2 + n, :]
+    out_ref[...] = xc + dinv_ref[...] * (rhs_ref[...] - ax)
 
 
-def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str,
-              parity: int = 0):
+def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
     n = level.dim
     b = slab_rows(n)
     nt = n // b
+    # note: parity enters only through which kdinv field rides in `dinv` —
+    # both half-sweeps share ONE compiled kernel
     kernel = functools.partial(
-        _fv4_kernel, n=n, b=b, nt=nt, mode=mode, parity=parity,
+        _fv4_kernel, n=n, b=b, nt=nt, mode=mode,
         b_h2inv=cfg.b * level.h2inv)
 
     E = pl.Element
@@ -307,7 +388,7 @@ def fv4_residual_pallas(level: Level, x, rhs, cfg: SolverConfig):
 def fv4_gsrb_sweep_pallas(level: Level, x, rhs, cfg: SolverConfig,
                           parity: int):
     """One GSRB half-sweep, boundary fill fused into the stencil kernel."""
-    return _fv4_call(level, x, rhs, level.dinv, cfg, "gsrb", parity)
+    return _fv4_call(level, x, rhs, level.kdinv[parity & 1], cfg, "gsrb")
 
 
 # ---------------------------------------------------------------------------

@@ -175,8 +175,12 @@ class FV4(base.OperatorSuite):
         # build program would bloat/crash the compile)
         if (cfg.kernels != "xla" and cfg.bc == BC.DIRICHLET
                 and level.dim >= _MIN_DIM and slab_rows(level.dim)):
+            from hpgmg_tpu.core.level import rb_mask
+
             kbi, kbj, kbk, kbk_top = kernel_beta_views(
                 lv.beta_i, lv.beta_j, lv.beta_k)
+            kdinv = tuple(rb_mask(lv.dim, p, lv.dinv.dtype) * lv.dinv
+                          for p in (0, 1))
             lv = dataclasses.replace(lv, kbi=kbi, kbj=kbj, kbk=kbk,
-                                     kbk_top=kbk_top)
+                                     kbk_top=kbk_top, kdinv=kdinv)
         return lv

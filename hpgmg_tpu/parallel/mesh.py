@@ -116,7 +116,7 @@ def shard_hierarchy(mesh: Mesh, hier):
         # drop the single-chip Pallas coefficient views: the kernels are not
         # used on sharded levels and the views would otherwise ride along as
         # replicated dead weight
-        kw.update(kbi=None, kbj=None, kbk=None, kbk_top=None)
+        kw.update(kbi=None, kbj=None, kbk=None, kbk_top=None, kdinv=None)
         new_levels.append(dataclasses.replace(lv, **kw))
     return Hierarchy(levels=new_levels)
 
