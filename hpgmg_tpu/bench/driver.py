@@ -38,9 +38,11 @@ def _build(n: int, cfg: SolverConfig, mesh=None):
     # the fv2/fv4 suites wire the cell-averaged sin^7 benchmark problem
     # (problem.fv.c); the pointwise suites use problem.p6
     if cfg.op in ("fv2", "fv4"):
+        from hpgmg_tpu.core.config import BC
         from hpgmg_tpu.problems.fv import init_problem_fv
 
-        prob = init_problem_fv(n, dtype=cfg.dtype)
+        prob = init_problem_fv(n, dtype=cfg.dtype,
+                               periodic=(cfg.bc == BC.PERIODIC))
     else:
         prob = init_problem_p6(n, dtype=cfg.dtype, a=cfg.a, b=cfg.b,
                                helmholtz=cfg.helmholtz)
@@ -70,11 +72,11 @@ def run_benchmark(n: int, cfg: SolverConfig, mesh=None,
 
         # Timed measurement: run `num` data-dependent F-cycles inside ONE
         # jitted program — a single launch amortizes tunnel/dispatch
-        # latency and the serial dependency prevents overlap/DCE.
-        num = max_solves
-
+        # latency and the serial dependency prevents overlap/DCE. The trip
+        # count is a *traced* scalar so the calibration chain and the timed
+        # chain share one compiled program.
         @jax.jit
-        def chained(hier, f):
+        def chained(hier, f, num):
             def body(i, carry):
                 dep, _ = carry
                 _, nr, _ = fmg_solve(op, hier, f + dep, cfg)
@@ -85,12 +87,20 @@ def run_benchmark(n: int, cfg: SolverConfig, mesh=None,
                                        jnp.zeros((), f.dtype)))
             return nr
 
-        nr_c = chained(hier, f)
-        _ = float(nr_c)  # compile + warm
-        t0 = time.perf_counter()
-        nr_c = chained(hier, f)
-        _ = float(nr_c)
-        elapsed = time.perf_counter() - t0
+        def timed(num: int) -> float:
+            t0 = time.perf_counter()
+            _ = float(chained(hier, f, num))
+            return time.perf_counter() - t0
+
+        _ = float(chained(hier, f, 1))  # compile + warm
+        # Calibrate timePerSolve with a short chain, then size the timed
+        # chain to the time budget (bench_hpgmg, hpgmg-fv.c:63-99).
+        cal = max(1, min(4, max_solves))
+        t_cal = timed(cal)
+        per_solve_est = t_cal / cal
+        num = int(max(1, min(max_solves,
+                             round(min_solve_seconds / per_solve_est))))
+        elapsed = timed(num)
 
     per_solve = elapsed / num
     dof = n ** 3

@@ -3,9 +3,19 @@
 Rebuild of the reference ``operators/restriction.c`` and
 ``operators/interpolation_*.c``. The reference drives each transfer through
 a precompiled pack/local/unpack MPI program (mg.c:38-841); here levels are
-global arrays so every transfer is a pure reshape/weighted-stencil — XLA
-handles any cross-device movement when the fine and coarse levels have
-different shardings (the box-agglomeration analog, SURVEY.md §7.6).
+global arrays so every transfer is a pure linear operator — XLA handles any
+cross-device movement when the fine and coarse levels have different
+shardings (the box-agglomeration analog, SURVEY.md §7.6).
+
+**TPU representation.** Every transfer (including its boundary-condition
+ghost synthesis, which is linear in the interior values) is a separable
+tensor product of 1D linear operators, so each one is applied as THREE
+einsums with per-axis weight matrices — batched matmuls that run on the
+MXU. The naive interleave/reshape formulation runs at ~3 GB/s on TPU (the
+2-way interleave on the lane axis forces pathological relayouts); the
+matrix form runs at matmul speed. The matrices are built at trace time by
+applying the *same* 1D extender+tap helpers to an identity, so the
+operator is exactly the reference's stencil (+BC) by construction.
 
 All interpolators take ``prescale_f``: fine = prescale_f * fine + P(coarse),
 so the same kernel overwrites (F-cycle, prescale 0) or accumulates
@@ -19,9 +29,24 @@ from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from hpgmg_tpu.core.config import BC
-from hpgmg_tpu.ops.bc import ghost_fill_linear
+from hpgmg_tpu.ops.bc import _reflect_odd_axis, _wrap_axis
+
+# f32 einsum on the MXU defaults to bf16 passes; transfers feed residual
+# ladders so keep full f32/f64 accuracy.
+_PRECISION = lax.Precision.HIGHEST
+
+
+def sep_apply(Wi: jax.Array, Wj: jax.Array, Wk: jax.Array,
+              x: jax.Array) -> jax.Array:
+    """Apply the separable operator Wi (x) Wj (x) Wk to a 3D field as three
+    MXU einsums."""
+    x = jnp.einsum("ai,ijk->ajk", Wi, x, precision=_PRECISION)
+    x = jnp.einsum("bj,ajk->abk", Wj, x, precision=_PRECISION)
+    return jnp.einsum("ck,abk->abc", Wk, x, precision=_PRECISION)
+
 
 # ---------------------------------------------------------------------------
 # restriction (restriction.c:6-94)
@@ -33,10 +58,16 @@ RESTRICT_FACE_J = "face_j"
 RESTRICT_FACE_K = "face_k"
 
 
+def _restrict_matrix(m2: int, dtype) -> jax.Array:
+    """(m2/2, m2) pairwise-average matrix: one axis of the 8->1 cell
+    average."""
+    return 0.5 * jnp.repeat(jnp.eye(m2 // 2, dtype=dtype), 2, axis=1)
+
+
 def restrict_cell(xf: jax.Array) -> jax.Array:
     """Piecewise-constant 8->1 cell average (restriction_pc_block, x0.125)."""
-    m = xf.shape[0] // 2
-    return xf.reshape(m, 2, m, 2, m, 2).mean(axis=(1, 3, 5))
+    Ws = [_restrict_matrix(xf.shape[a], xf.dtype) for a in range(3)]
+    return sep_apply(*Ws, xf)
 
 
 def _restrict_face(bf: jax.Array, axis: int) -> jax.Array:
@@ -66,15 +97,6 @@ def restrict_face_k(bf):
 # interpolation (interpolation_p0.c / interpolation_p1.c / _v2 / _v4)
 # ---------------------------------------------------------------------------
 
-def interp_p0(xc: jax.Array, prescale_f: float, xf: jax.Array, bc: BC) -> jax.Array:
-    """Piecewise-constant injection: every fine cell copies its coarse parent."""
-    m = xc.shape[0]
-    up = jnp.broadcast_to(
-        xc[:, None, :, None, :, None], (m, 2, m, 2, m, 2)
-    ).reshape(2 * m, 2 * m, 2 * m)
-    return prescale_f * xf + up if prescale_f != 0.0 else up
-
-
 def _interp_axis_2tap(x: jax.Array, axis: int, w_c: float, w_n: float) -> jax.Array:
     """Separable 1D upsample: even child = w_c*c[I] + w_n*c[I-1],
     odd child = w_c*c[I] + w_n*c[I+1]. ``x`` is ghost-padded by 1 on ``axis``."""
@@ -89,21 +111,40 @@ def _interp_axis_2tap(x: jax.Array, axis: int, w_c: float, w_n: float) -> jax.Ar
     return out.reshape(shape)
 
 
+def interp_matrix(m: int, dtype, bc: BC, extend, radius: int,
+                  tap) -> jax.Array:
+    """(2m, m) one-axis interpolation matrix: columns are the responses of
+    extend-then-tap to the coarse basis vectors. ``extend(x, axis, radius)``
+    synthesizes the BC ghosts (or ``_wrap_axis`` for periodic); ``tap``
+    applies the child stencil along axis 0."""
+    eye = jnp.eye(m, dtype=dtype)
+    ext = _wrap_axis if bc == BC.PERIODIC else extend
+    return tap(ext(eye, 0, radius), 0)
+
+
+def interp_p0(xc: jax.Array, prescale_f: float, xf: jax.Array, bc: BC) -> jax.Array:
+    """Piecewise-constant injection: every fine cell copies its coarse parent."""
+    Ws = [jnp.repeat(jnp.eye(xc.shape[a], dtype=xc.dtype), 2, axis=0)
+          for a in range(3)]
+    up = sep_apply(*Ws, xc)
+    return prescale_f * xf + up if prescale_f != 0.0 else up
+
+
 def interp_p1(xc: jax.Array, prescale_f: float, xf: jax.Array, bc: BC) -> jax.Array:
     """Trilinear interpolation (interpolation_p1.c:42-62).
 
     The reference's 8-point weights {27,9,3,1}/64 are the tensor product of
     the 1D pair (3/4, 1/4) where even children look backward and odd
-    children look forward, so we apply three separable 1D passes. The
-    coarse array must have BC-consistent ghosts (the reference calls
-    exchange_boundary + apply_BCs_p1 first, interpolation_p1.c:71-72).
+    children look forward (+ apply_BCs_p1 odd reflection at the boundary,
+    interpolation_p1.c:71-72) — a separable operator, applied as three MXU
+    matmuls.
     """
-    up = ghost_fill_linear(xc, bc, radius=1)
-    for axis in range(3):
-        # each pass consumes the ghost pair on its own axis: (m+2 -> 2m);
-        # ghost rows on not-yet-done axes are interpolated along `axis` and
-        # consumed by the later passes, which is exactly separability.
-        up = _interp_axis_2tap(up, axis, 0.75, 0.25)
+    def tap(x, axis):
+        return _interp_axis_2tap(x, axis, 0.75, 0.25)
+
+    Ws = [interp_matrix(xc.shape[a], xc.dtype, bc, _reflect_odd_axis, 1, tap)
+          for a in range(3)]
+    up = sep_apply(*Ws, xc)
     return prescale_f * xf + up if prescale_f != 0.0 else up
 
 

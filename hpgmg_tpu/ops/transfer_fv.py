@@ -11,7 +11,11 @@ interpolation_v4.c:161-168). Mirror-symmetric child pairs:
 * p2: 3-tap (5/32, 30/32, -3/32) — interpolation_p2.c:91-93
 * v4: 5-tap (-3/128, 22/128, 1, -22/128, 3/128) — interpolation_v4.c:47-56
 
-All are registered into :mod:`hpgmg_tpu.ops.transfer`.
+All are registered into :mod:`hpgmg_tpu.ops.transfer`. Like the base
+transfers, each interpolation (with its BC ghost synthesis folded in) is a
+separable linear operator applied as three per-axis matrix einsums on the
+MXU (see ops/transfer.py docstring for why the interleave formulation is
+TPU-hostile).
 """
 
 from __future__ import annotations
@@ -20,9 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from hpgmg_tpu.core.config import BC
-from hpgmg_tpu.ops.bc import ghost_fill_quadratic_fd
-from hpgmg_tpu.ops.bc_fv import ghost_fill_fv
+from hpgmg_tpu.ops.bc import _quadratic_fd_axis
+from hpgmg_tpu.ops.bc_fv import _extend_axis_v2, _extend_axis_v4
 from hpgmg_tpu.ops import transfer
+from hpgmg_tpu.ops.transfer import interp_matrix, sep_apply
 
 
 def _interp_axis_3tap(x: jax.Array, axis: int, w_back: float, w_c: float,
@@ -53,28 +58,35 @@ def _interp_axis_5tap(x: jax.Array, axis: int, w2: float, w1: float) -> jax.Arra
     return out.reshape(shape)
 
 
+def _sep_interp(xc, prescale_f, xf, bc, extend, radius, tap):
+    Ws = [interp_matrix(xc.shape[a], xc.dtype, bc, extend, radius, tap)
+          for a in range(3)]
+    up = sep_apply(*Ws, xc)
+    return prescale_f * xf + up if prescale_f != 0.0 else up
+
+
 def interp_v2(xc, prescale_f: float, xf, bc: BC):
     """Volume-averaged quadratic (interpolation_v2.c + apply_BCs_v2)."""
-    up = ghost_fill_fv(xc, bc, order=2, radius=1)
-    for axis in range(3):
-        up = _interp_axis_3tap(up, axis, 1.0 / 8.0, 1.0, -1.0 / 8.0)
-    return prescale_f * xf + up if prescale_f != 0.0 else up
+    def tap(x, axis):
+        return _interp_axis_3tap(x, axis, 1.0 / 8.0, 1.0, -1.0 / 8.0)
+
+    return _sep_interp(xc, prescale_f, xf, bc, _extend_axis_v2, 1, tap)
 
 
 def interp_p2(xc, prescale_f: float, xf, bc: BC):
     """Cell-centered piecewise-quadratic (interpolation_p2.c + apply_BCs_p2)."""
-    up = ghost_fill_quadratic_fd(xc, bc, radius=1)
-    for axis in range(3):
-        up = _interp_axis_3tap(up, axis, 5.0 / 32.0, 30.0 / 32.0, -3.0 / 32.0)
-    return prescale_f * xf + up if prescale_f != 0.0 else up
+    def tap(x, axis):
+        return _interp_axis_3tap(x, axis, 5.0 / 32.0, 30.0 / 32.0, -3.0 / 32.0)
+
+    return _sep_interp(xc, prescale_f, xf, bc, _quadratic_fd_axis, 1, tap)
 
 
 def interp_v4(xc, prescale_f: float, xf, bc: BC):
     """Volume-averaged quartic (interpolation_v4.c + apply_BCs_v4)."""
-    up = ghost_fill_fv(xc, bc, order=4, radius=2)
-    for axis in range(3):
-        up = _interp_axis_5tap(up, axis, -3.0 / 128.0, 22.0 / 128.0)
-    return prescale_f * xf + up if prescale_f != 0.0 else up
+    def tap(x, axis):
+        return _interp_axis_5tap(x, axis, -3.0 / 128.0, 22.0 / 128.0)
+
+    return _sep_interp(xc, prescale_f, xf, bc, _extend_axis_v4, 2, tap)
 
 
 transfer._INTERP.setdefault("v2", interp_v2)

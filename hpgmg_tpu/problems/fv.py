@@ -54,17 +54,22 @@ class ProblemFV(NamedTuple):
     f: jax.Array
 
 
-def init_problem_fv(n: int, dtype=jnp.float64,
-                    h: Optional[float] = None) -> ProblemFV:
+def init_problem_fv(n: int, dtype=jnp.float64, h: Optional[float] = None,
+                    periodic: bool = False) -> ProblemFV:
     """Traced into one program (see problem.fv.c:90-143 for the reference
-    loop this replaces)."""
+    loop this replaces).
+
+    ``periodic``: the USE_PERIODIC_BC variant — same beta/F fields (sin^7
+    products are periodic on [0,1]^3), but any nonzero discrete mean of F
+    is removed so the rhs is orthogonal to the constant null space
+    (hpgmg-fv.c:296-302 shift_vector)."""
     if h is None:
         h = 1.0 / n
-    return jax.jit(_init_problem_fv, static_argnums=(0, 1, 2))(
-        n, jnp.dtype(dtype).name, h)
+    return jax.jit(_init_problem_fv, static_argnums=(0, 1, 2, 3))(
+        n, jnp.dtype(dtype).name, h, periodic)
 
 
-def _init_problem_fv(n, dtype, h) -> ProblemFV:
+def _init_problem_fv(n, dtype, h, periodic=False) -> ProblemFV:
     dtype = jnp.dtype(dtype)
 
     def centers(count, axis, offset=0.5):
@@ -80,6 +85,8 @@ def _init_problem_fv(n, dtype, h) -> ProblemFV:
     beta_j = jnp.broadcast_to(_beta(xc, yf, zc, h, (0, 2)), (n, n + 1, n))
     beta_k = jnp.broadcast_to(_beta(xc, yc, zf, h, (0, 1)), (n, n, n + 1))
     f = jnp.broadcast_to(_forcing(xc, yc, zc, h), (n, n, n))
+    if periodic:
+        f = f - jnp.mean(f)
     alpha = jnp.ones((n, n, n), dtype)
     return ProblemFV(beta_i=beta_i.astype(dtype), beta_j=beta_j.astype(dtype),
                      beta_k=beta_k.astype(dtype), alpha=alpha,

@@ -51,7 +51,8 @@ def bottom_solve(op, level: Level, x, rhs, cfg: SolverConfig,
 
         return cacg(op, level, x, rhs, cfg, must_subtract_mean)
     if cfg.bottom == BottomSolver.SMOOTH:
-        return smooth_until_converged(op, level, x, rhs, cfg)
+        return smooth_until_converged(op, level, x, rhs, cfg,
+                                      must_subtract_mean)
     raise ValueError(f"unknown bottom solver {cfg.bottom}")
 
 
@@ -189,11 +190,29 @@ def cg(op, level: Level, x, rhs, cfg: SolverConfig,
     return out.x
 
 
-def smooth_until_converged(op, level: Level, x, rhs, cfg: SolverConfig):
-    """Fallback bottom solve: apply the smoother a fixed number of times
-    (solvers.c:17-88 fallback path, bounded for compile-friendliness)."""
+def smooth_until_converged(op, level: Level, x, rhs, cfg: SolverConfig,
+                           must_subtract_mean: bool = False):
+    """Fallback bottom solve (solvers.c:17-88 `#else` branch): smooth until
+    ||r|| <= bottom_rtol * ||r0||, capped at bottom_max_iters smooths so the
+    traced while_loop always terminates."""
     from hpgmg_tpu.solve.smoothers import smooth
 
-    for _ in range(16):
+    rd = cfg.reduce_dtype
+    r0 = op.residual(level, x, rhs, cfg)
+    r0 = _subtract_mean(r0, must_subtract_mean, rd)
+    target = cfg.bottom_rtol * blas.norm(r0)
+
+    def cond(carry):
+        x, norm_r, j = carry
+        return (j < cfg.bottom_max_iters) & (norm_r > target)
+
+    def body(carry):
+        x, _, j = carry
         x = smooth(op, level, x, rhs, cfg)
+        r = op.residual(level, x, rhs, cfg)
+        r = _subtract_mean(r, must_subtract_mean, rd)
+        return (x, blas.norm(r), j + 1)
+
+    x, _, _ = lax.while_loop(
+        cond, body, (x, blas.norm(r0), jnp.array(0, jnp.int32)))
     return x

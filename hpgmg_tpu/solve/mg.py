@@ -27,6 +27,7 @@ from hpgmg_tpu.ops.transfer import get_interpolation, restrict_cell
 from hpgmg_tpu.parallel.mesh import maybe_constrain
 from hpgmg_tpu.solve.bottom import bottom_solve
 from hpgmg_tpu.solve.smoothers import smooth
+from hpgmg_tpu.utils.profiler import scope
 
 
 def _must_subtract_mean(cfg: SolverConfig) -> bool:
@@ -43,19 +44,25 @@ def vcycle(op: OperatorSuite, levels: List[Level], lev: int, e, rhs,
     """
     level = levels[lev]
     if lev == len(levels) - 1:
-        return bottom_solve(op, level, e, rhs, cfg,
-                            must_subtract_mean=_must_subtract_mean(cfg))
+        with scope(f"mg.L{lev}.bottom"):
+            return bottom_solve(op, level, e, rhs, cfg,
+                                must_subtract_mean=_must_subtract_mean(cfg))
 
-    e = smooth(op, level, e, rhs, cfg)
-    t = op.residual(level, e, rhs, cfg)
-    # place the coarse rhs on the coarse level's mesh footprint (sharded or
-    # replicated — the agglomeration decision, parallel/mesh.py)
-    rhs_c = maybe_constrain(levels[lev + 1].dim, restrict_cell(t))
+    with scope(f"mg.L{lev}.smooth"):
+        e = smooth(op, level, e, rhs, cfg)
+    with scope(f"mg.L{lev}.residual"):
+        t = op.residual(level, e, rhs, cfg)
+    with scope(f"mg.L{lev}.restriction"):
+        # place the coarse rhs on the coarse level's mesh footprint (sharded
+        # or replicated — the agglomeration decision, parallel/mesh.py)
+        rhs_c = maybe_constrain(levels[lev + 1].dim, restrict_cell(t))
     e_c = jnp.zeros_like(rhs_c)
     e_c = vcycle(op, levels, lev + 1, e_c, rhs_c, cfg)
     interp = get_interpolation(op.interpolation_vcycle)
-    e = maybe_constrain(level.dim, interp(e_c, 1.0, e, cfg.bc))
-    e = smooth(op, level, e, rhs, cfg)
+    with scope(f"mg.L{lev}.interpolation"):
+        e = maybe_constrain(level.dim, interp(e_c, 1.0, e, cfg.bc))
+    with scope(f"mg.L{lev}.smooth"):
+        e = smooth(op, level, e, rhs, cfg)
     return e
 
 
@@ -128,9 +135,10 @@ def fmg_solve(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
 
     # restrict the rhs down the whole ladder (mg.c:1274-1278)
     rhs = [f]
-    for lev in range(len(levels) - 1):
-        rhs.append(maybe_constrain(levels[lev + 1].dim,
-                                   restrict_cell(rhs[-1])))
+    with scope("fmg.restrict_rhs"):
+        for lev in range(len(levels) - 1):
+            rhs.append(maybe_constrain(levels[lev + 1].dim,
+                                       restrict_cell(rhs[-1])))
 
     # coarsest-grid solve (mg.c:1283-1287)
     bot = len(levels) - 1
@@ -138,14 +146,17 @@ def fmg_solve(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
         u = u0
     else:
         u = jnp.zeros(levels[bot].shape, levels[bot].beta_i.dtype)
-    u = bottom_solve(op, levels[bot], u, rhs[bot], cfg,
-                     must_subtract_mean=_must_subtract_mean(cfg))
+    with scope("fmg.bottom"):
+        u = bottom_solve(op, levels[bot], u, rhs[bot], cfg,
+                         must_subtract_mean=_must_subtract_mean(cfg))
 
     # climb: high-order interpolation then a V-cycle at each level
     interp_f = get_interpolation(op.interpolation_fcycle)
     for lev in range(bot - 1, -1, -1):
         # prescale 0: overwrite (mg.c:1295)
-        u = maybe_constrain(levels[lev].dim, interp_f(u, 0.0, None, cfg.bc))
+        with scope(f"fmg.L{lev}.interpolation_fcycle"):
+            u = maybe_constrain(levels[lev].dim,
+                                interp_f(u, 0.0, None, cfg.bc))
         u = vcycle(op, levels, lev, u, rhs[lev], cfg)
 
     # trailing V-cycles (UNLIMIT_FMG_ITERATIONS analog), fixed count

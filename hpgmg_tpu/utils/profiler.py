@@ -19,8 +19,12 @@ import jax
 
 @contextlib.contextmanager
 def scope(name: str):
-    """Named trace annotation visible in a captured profile."""
-    with jax.profiler.TraceAnnotation(name):
+    """Named scope for solver phases. Composes BOTH annotation kinds:
+    ``jax.named_scope`` names the HLO ops emitted while tracing (so a
+    device trace of the fused solve shows per-level phases — the
+    MGPrintTiming / PetscLogStage analog) and ``TraceAnnotation`` marks
+    host time when used around eager calls."""
+    with jax.named_scope(name), jax.profiler.TraceAnnotation(name):
         yield
 
 

@@ -172,6 +172,22 @@ class TestFV4Solve:
         # one F-cycle reaches discretization error: small relative residual
         assert float(norm_r) / float(norm_f) < 2e-3, float(norm_r) / float(norm_f)
 
+    def test_fcycle_periodic_benchmark_problem(self):
+        """USE_PERIODIC_BC variant of the benchmark problem: the periodic
+        pure-Poisson operator has a constant null space, so the solve
+        exercises must_subtract_mean (mg.c:1008-1018) on the benchmark
+        operator. F must arrive mean-free (hpgmg-fv.c:296-302)."""
+        cfg = make_cfg("fv4", bc=BC.PERIODIC)
+        prob = init_problem_fv(32, dtype=cfg.dtype, periodic=True)
+        assert abs(float(blas.mean(prob.f))) < 1e-12
+        hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
+                               alpha=prob.alpha)
+        u, norm_r, norm_f = fmg_solve(get_suite("fv4"), hier, prob.f, cfg)
+        assert float(norm_r) / float(norm_f) < 2e-3, \
+            float(norm_r) / float(norm_f)
+        # the mean was projected out of the solution as well
+        assert abs(float(blas.mean(u))) < 1e-10
+
     def test_richardson_order_4(self):
         """The headline fv4 oracle: solver order ~4 via Richardson
         (hpgmg-fv.c:351-366)."""
