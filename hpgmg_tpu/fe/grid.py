@@ -185,22 +185,54 @@ class FEGrid:
 
     # ------------------------------------------------------------------
     # inter-grid transfers
+    #
+    # All three transfers are separable linear operators and are applied
+    # as per-axis matrix einsums (MXU) — strided slicing / interleaving on
+    # TPU lane axes is pathologically slow (see ops/transfer.py) and
+    # composes badly with GSPMD sharding of the unevenly-sized node
+    # arrays. The 1D matrices are built by running the original stencil
+    # code on an identity, so the operators are unchanged.
     # ------------------------------------------------------------------
+
+    def _sep_apply3(self, Ws, x):
+        """Apply per-axis matrices Ws[a] (out_a, in_a) to a 3D node field."""
+        pr = jax.lax.Precision.HIGHEST
+        x = jnp.einsum("ai,ijk->ajk", Ws[0], x, precision=pr)
+        x = jnp.einsum("bj,ajk->abk", Ws[1], x, precision=pr)
+        return jnp.einsum("ck,abk->abc", Ws[2], x, precision=pr)
+
+    def _inject_matrices(self, dtype):
+        """(nc, nf) selection of every 2nd fine node per axis."""
+        return [jnp.eye(self.nodes[a], dtype=dtype)[::2]
+                for a in range(3)]
+
+    def _interp_matrices(self, coarse_grid: "FEGrid", dtype):
+        """(nf, nc) per-axis interpolation matrices: the 1D pass
+        (_interp_axis) applied to an identity."""
+        return [self._interp_axis(
+            coarse_grid,
+            jnp.eye(coarse_grid.nodes[a], dtype=dtype), 0,
+            out_axis=a) for a in range(3)]
 
     def inject(self, u_fine: jax.Array) -> jax.Array:
         """State restriction Rhat: coarse nodes are every 2nd fine node
         (DMFEInject, grid.c:543-562)."""
-        return u_fine[::2, ::2, ::2]
+        return self._sep_apply3(self._inject_matrices(u_fine.dtype), u_fine)
 
     def _interp_axis(self, coarse_grid: "FEGrid", u: jax.Array,
-                     axis: int) -> jax.Array:
+                     axis: int, out_axis: int = None) -> jax.Array:
         """One separable pass of DMFEInterpolate (grid.c:567-640): even fine
         nodes copy the coarse node; the ``degree`` non-nested fine nodes in
-        each coarse element get the reference interp weights."""
+        each coarse element get the reference interp weights.
+
+        ``out_axis``: the GRID axis whose extents apply (defaults to the
+        array axis ``axis``; they differ when building the per-axis
+        operator matrix from a 2D identity)."""
         p = self.degree
         W = self.ref.interp_weights()  # (p, P)
-        mc = coarse_grid.M[axis]  # coarse elements along axis
-        nf = self.nodes[axis]
+        ga = axis if out_axis is None else out_axis
+        mc = coarse_grid.M[ga]  # coarse elements along axis
+        nf = self.nodes[ga]
         # coarse-node count along axis: p*mc + 1
         # element-local coarse nodes: EC[e, l] = u[p*e + l], l in 0..p
         slices = [lax.slice_in_dim(u, l, l + p * (mc - 1) + 1, stride=p,
@@ -230,60 +262,12 @@ class FEGrid:
 
     def interpolate(self, coarse_grid: "FEGrid", u_coarse: jax.Array) -> jax.Array:
         """P: coarse nodes -> fine nodes, separable per axis."""
-        u = u_coarse
-        for axis in range(3):
-            u = self._interp_axis(coarse_grid, u, axis)
-        return u
-
-    def _restrict_axis(self, coarse_grid: "FEGrid", v: jax.Array,
-                       axis: int) -> jax.Array:
-        """Transpose of _interp_axis: accumulate fine-node values into
-        coarse nodes (DMFERestrict, grid.c:645-731)."""
-        p = self.degree
-        W = self.ref.interp_weights()
-        mc = coarse_grid.M[axis]
-        nc = p * mc + 1
-        # split fine nodes into per-element groups of 2p + trailing node
-        body = lax.slice_in_dim(v, 0, 2 * p * mc, axis=axis)
-        shape = list(v.shape)
-        shape[axis] = mc
-        shape.insert(axis + 1, 2 * p)
-        body = body.reshape(shape)
-
-        def pos(r):
-            idx = [slice(None)] * body.ndim
-            idx[axis + 1] = r
-            return body[tuple(idx)]
-
-        out_shape = list(v.shape)
-        out_shape[axis] = nc
-        out = jnp.zeros(out_shape, v.dtype)
-
-        def add_strided(out, y, offset):
-            return self._strided_add_axis(out, y, offset, axis)
-
-        # C-point rows add directly
-        for l in range(p + 1):
-            if l < p:
-                out = add_strided(out, pos(2 * l), l)
-        # the trailing global C-point and the per-element high C-point:
-        # fine node 2p*e + 2p == coarse p*e + p belongs to element e's last
-        # C-point — handled via the next element's position 0 except the
-        # final one; accumulate it explicitly:
-        last = lax.slice_in_dim(v, 2 * p * mc, 2 * p * mc + 1, axis=axis)
-        sl = [slice(None)] * out.ndim
-        sl[axis] = slice(nc - 1, nc)
-        out = out.at[tuple(sl)].add(last)
-        # non-nested fine nodes distribute with the interp weights
-        for f in range(p):
-            y = pos(2 * f + 1)
-            for l in range(p + 1):
-                out = add_strided(out, float(W[f, l]) * y, l)
-        return out
+        Ws = self._interp_matrices(coarse_grid, u_coarse.dtype)
+        return self._sep_apply3(Ws, u_coarse)
 
     def restrict(self, coarse_grid: "FEGrid", v_fine: jax.Array) -> jax.Array:
-        """R = P^T: residual restriction, separable per axis."""
-        v = v_fine
-        for axis in range(3):
-            v = self._restrict_axis(coarse_grid, v, axis)
-        return v
+        """R = P^T: residual restriction (DMFERestrict, grid.c:645-731) —
+        exactly the transposed interpolation matrices, so the transpose
+        relation holds by construction."""
+        Ws = self._interp_matrices(coarse_grid, v_fine.dtype)
+        return self._sep_apply3([W.T for W in Ws], v_fine)

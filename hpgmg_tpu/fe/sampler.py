@@ -24,8 +24,6 @@ import jax.numpy as jnp
 from hpgmg_tpu.fe.fas import build_fe_levels, fas_fcycle
 from hpgmg_tpu.fe.grid import FEGrid
 from hpgmg_tpu.fe.op import FEOp
-from hpgmg_tpu.parallel.mesh import _factor3
-
 COARSE_SEEDS = [(2, 2, 2), (2, 2, 3), (2, 3, 3), (3, 3, 3),
                 (3, 3, 4), (3, 4, 4), (2, 2, 4), (2, 4, 4)]
 
@@ -70,22 +68,47 @@ def thin_samples(samples: List[Tuple[int, int, int]],
     return sorted(keep, key=lambda M: M[0] * M[1] * M[2])
 
 
-def fcycle_flops(grid: FEGrid) -> int:
-    """Analytic FLOP count for one F-cycle (apply-dominated).
-
-    Per element per operator apply: 6 tensor contractions (3 EVAL + 3
-    TRANSPOSE), each three passes of 2*dof*Q*P per point-line (tensor.c
-    counts 2*P*Q per 1D pass over P^2 (or Q^2) pencils), plus the
-    pointwise metric application."""
+def _apply_flops_per_elem(grid: FEGrid) -> int:
+    """FLOPs for one operator apply on one element: 6 tensor contractions
+    (3 EVAL + 3 TRANSPOSE), each three passes of 2*Q*P per point-line
+    (tensor.c counts at tensor.c:58), plus the pointwise metric
+    (pointwise.h:37, op-poisson1.c:98)."""
     P, Q = grid.ref.P, grid.ref.Q
     per_contraction = 2 * (Q * P * P * P + Q * Q * P * P + Q * Q * Q * P)
     pointwise = 15 * Q ** 3  # dv = K du (9 mul + 6 add per point)
-    per_apply_elem = 6 * per_contraction + pointwise
-    nelem = grid.M[0] * grid.M[1] * grid.M[2]
-    # cycle structure: F-cycle ~ sum over levels of (pre+post+2) applies on
-    # a geometric ladder (factor 8 shrink): ~ (2+3+2) * 8/7 * nelem applies
-    applies = 7.0 * 8.0 / 7.0
-    return int(per_apply_elem * nelem * applies)
+    return 6 * per_contraction + pointwise
+
+
+def fcycle_flops(grid: FEGrid, pre: int = 2, post: int = 3,
+                 cg_iters: int = 20) -> int:
+    """Analytic FLOP count for one FAS F-cycle from the ACTUAL cycle
+    structure (no hard-coded cycle factor).
+
+    Operator applies per level, counted from fas_fcycle/fas_vcycle: level
+    l < bottom is entered by the V-cycles started at levels 0..l, i.e.
+    (l+1) visits, each costing pre + post Chebyshev applies + 1 residual
+    apply; the coarse FAS rhs adds 1 apply at level l+1 per visit of l.
+    The bottom level runs Jacobi-CG (1 apply/iteration + 1 setup);
+    ``cg_iters`` is an estimate of its (convergence-dependent, tiny-grid)
+    trip count — bottom work is <1% of the total on sampler grids."""
+    levels = [grid]
+    while levels[-1].can_coarsen():
+        levels.append(levels[-1].coarsen())
+    bot = len(levels) - 1
+    total = 0.0
+    for lev, g in enumerate(levels):
+        nelem = g.M[0] * g.M[1] * g.M[2]
+        if lev < bot:
+            visits = lev + 1
+            applies = visits * (pre + post + 1)
+            if lev > 0:  # coarse-side FAS apply charged by the finer level
+                applies += lev  # = visits of level lev-1
+        else:
+            # entered once by the F-cycle restrict chain and once per
+            # visiting V-cycle; each entry runs CG
+            applies = (bot + 1) * (cg_iters + 1) + bot  # + FAS rhs applies
+        total += applies * _apply_flops_per_elem(g) * nelem
+    return int(total)
 
 
 @dataclasses.dataclass
@@ -98,16 +121,22 @@ class SampleResult:
 
 def sample_on_grid(op: FEOp, M, degree: int, dtype=jnp.float32,
                    repeat: int = 3, mintime: float = 0.1,
-                   chain: int = 20) -> SampleResult:
+                   chain: int = 20, mesh=None) -> SampleResult:
     """SampleOnGrid (sampler.c:114-240): build, warm up, run >= repeat
     timed measurements of ``chain`` data-dependent F-cycles inside one
     jitted program (single-launch timing; see bench/driver.py), report
-    the best."""
+    the best. With ``mesh``, level fields are sharded over the
+    element-batch axes (fe/mesh.py) before timing."""
     mmax = max(M)
     L = tuple(m / mmax for m in M)
     grid = FEGrid(M=tuple(M), degree=degree, L=L)
     levels = build_fe_levels(grid, op, dtype=dtype)
     f = jax.jit(lambda L0: op.forcing(L0.grid, L0.coords, "sine"))(levels[0])
+    if mesh is not None:
+        from hpgmg_tpu.fe.mesh import shard_fe_field, shard_fe_levels
+
+        levels = shard_fe_levels(mesh, levels)
+        f = shard_fe_field(mesh, levels[0], f)
 
     @jax.jit
     def chained(levels, f):
@@ -132,7 +161,7 @@ def sample_on_grid(op: FEOp, M, degree: int, dtype=jnp.float32,
         if runs > 100:
             break
     eqs = grid.ndof
-    flops = fcycle_flops(grid)
+    flops = fcycle_flops(grid)  # default pre/post match fas_fcycle defaults
     return SampleResult(M=tuple(M), seconds=best,
                         gflops=flops / best / 1e9,
                         meq_per_s=eqs / best / 1e6)
@@ -142,9 +171,17 @@ def run_sample(op: FEOp, degree: int = 2, local: Tuple[int, int] = (50, 10000),
                maxsamples: int = 8, repeat: int = 3, mintime: float = 0.1,
                dtype=jnp.float32, n_devices: Optional[int] = None,
                verbose: bool = True) -> List[SampleResult]:
-    """RunSample (sampler.c:242-292)."""
+    """RunSample (sampler.c:242-292). On a multi-device system the level
+    fields are actually sharded over the (squarest-factorized) mesh and the
+    printed P[...] reflects that placement; on one device P[1 1 1]."""
     n_dev = n_devices or len(jax.devices())
-    procs = _factor3(n_dev)
+    mesh = None
+    procs = (1, 1, 1)
+    if n_dev > 1:
+        from hpgmg_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[:n_dev])
+        procs = tuple(mesh.shape[a] for a in mesh.axis_names)
     samples = sample_grid_range(local[0], local[1], procs)
     samples = thin_samples(samples, maxsamples)
     if not samples:
@@ -152,13 +189,15 @@ def run_sample(op: FEOp, degree: int = 2, local: Tuple[int, int] = (50, 10000),
 
     if verbose:
         print(f"Small sample of size {samples[0]} (instant feedback)")
-    results = [sample_on_grid(op, samples[0], degree, dtype, 1, 0.0)]
+    results = [sample_on_grid(op, samples[0], degree, dtype, 1, 0.0,
+                              mesh=mesh)]
     if len(samples) > 1:
         if verbose:
             print(f"Large sample of size {samples[-1]} (memory + warmup)")
-        sample_on_grid(op, samples[-1], degree, dtype, 1, 0.0)
+        sample_on_grid(op, samples[-1], degree, dtype, 1, 0.0, mesh=mesh)
     for M in samples[1:] if len(samples) > 1 else []:
-        results.append(sample_on_grid(op, M, degree, dtype, repeat, mintime))
+        results.append(sample_on_grid(op, M, degree, dtype, repeat, mintime,
+                                      mesh=mesh))
     if verbose:
         for r in results:
             print(f"Q{degree} G[{r.M[0]:5d}{r.M[1]:5d}{r.M[2]:5d}] "
