@@ -31,9 +31,10 @@ def main():
         b=1.0,
         smoother=Smoother.GSRB,
         bottom=BottomSolver.DIRECT,  # exact dense bottom (one MXU matvec)
-        # 4^3 bottom: the exact direct solve makes the 2^3 tail levels pure
-        # overhead (reference MAX_COARSE_DIM=11 permits bottoms up to 11^3)
-        min_coarse_dim=4,
+        # 8^3 bottom: the exact direct solve makes the 4^3/2^3 tail levels
+        # pure overhead (reference MAX_COARSE_DIM=11 permits 11^3 bottoms);
+        # measured: 8^3 bottom beats 4^3 by ~3% at n=128
+        min_coarse_dim=8,
         dtype=jnp.float32,
     )
     res = run_benchmark(n, cfg, mesh=None, min_solve_seconds=2.0,

@@ -46,7 +46,11 @@ def main(argv=None):
                    help="solve at h, 2h, 4h for Richardson (DYNAMIC_RANGE)")
     p.add_argument("--min-seconds", type=float, default=1.0)
     p.add_argument("--timing-table", action="store_true",
-                   help="print the per-level x per-op breakdown")
+                   help="print the per-level x per-op breakdown "
+                        "(standalone upper bounds)")
+    p.add_argument("--solve-timing-table", action="store_true",
+                   help="print MGPrintTiming-style per-level times "
+                        "accumulated inside one actual (eager) solve")
     args = p.parse_args(argv)
 
     if args.dtype == "float64":
@@ -88,6 +92,13 @@ def main(argv=None):
         hier, _ = _build(args.n, cfg)
         rows = measure_breakdown(hier, cfg)
         print(format_breakdown(rows))
+    if args.solve_timing_table:
+        from hpgmg_tpu.bench.driver import _build
+        from hpgmg_tpu.bench.timing import fmg_timing_table
+
+        hier, f = _build(args.n, cfg)
+        _, table = fmg_timing_table(hier, cfg, f)
+        print(table)
     return 0
 
 

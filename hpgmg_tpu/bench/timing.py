@@ -85,6 +85,43 @@ def measure_breakdown(hier: Hierarchy, cfg: SolverConfig,
     return rows
 
 
+def fmg_timing_table(hier: Hierarchy, cfg: SolverConfig, f=None):
+    """MGPrintTiming analog (mg.c:54-163): per-level x per-operation wall
+    time accumulated inside ONE ACTUAL F-cycle solve.
+
+    The solve runs eagerly (op granularity) with a device sync per phase,
+    so — unlike ``measure_breakdown``'s standalone upper bounds — the
+    numbers are the phases of a real solve in solve order. Caveat: each
+    phase pays one dispatch; through the axon tunnel that is ~28 ms/phase,
+    so use this on locally-attached devices (or read relative shares).
+    Returns (timers dict {(level, phase): seconds}, formatted table)."""
+    from hpgmg_tpu.solve.mg import fmg_solve
+
+    op = get_suite(cfg.op)
+    if f is None:
+        f = jnp.ones(hier.levels[0].shape, hier.levels[0].beta_i.dtype)
+    fmg_solve(op, hier, f, cfg, timers={})  # warm the per-phase jit cache
+    timers: Dict = {}
+    fmg_solve(op, hier, f, cfg, timers=timers)
+
+    phases = ["smooth", "residual", "restriction", "interpolation",
+              "interpolation_f", "bottom"]
+    nlev = len(hier.levels)
+    lines = ["level".ljust(16) + "".join(f"{i:>12d}" for i in range(nlev)),
+             "dim".ljust(16) + "".join(f"{lv.dim:>10d}^3"
+                                       for lv in hier.levels)]
+    total = [0.0] * nlev
+    for ph in phases:
+        cells = []
+        for i in range(nlev):
+            v = timers.get((i, ph))
+            cells.append(f"{v:12.6f}" if v is not None else " " * 12)
+            total[i] += v or 0.0
+        lines.append(ph.ljust(16) + "".join(cells))
+    lines.append("total".ljust(16) + "".join(f"{t:12.6f}" for t in total))
+    return timers, "\n".join(lines)
+
+
 def format_breakdown(rows: List[Dict[str, float]]) -> str:
     """Render the per-level x per-op table the way MGPrintTiming does
     (levels as columns, operations as rows)."""

@@ -35,34 +35,94 @@ def _must_subtract_mean(cfg: SolverConfig) -> bool:
     return cfg.bc == BC.PERIODIC and not cfg.helmholtz
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_jit(name: str, variant: str = ""):
+    """Jitted per-phase kernels for the timed (MGPrintTiming) solve mode.
+    Stable callables so jax's compile cache hits across phase calls."""
+    if name == "smooth":
+        return jax.jit(smooth, static_argnums=(0, 4))
+    if name == "residual":
+        return jax.jit(lambda op, level, e, rhs, cfg:
+                       op.residual(level, e, rhs, cfg),
+                       static_argnums=(0, 4))
+    if name == "restriction":
+        return jax.jit(lambda dim, t: maybe_constrain(dim, restrict_cell(t)),
+                       static_argnums=(0,))
+    if name in ("interpolation", "interpolation_f"):
+        interp = get_interpolation(variant)
+        prescale = 1.0 if name == "interpolation" else 0.0
+        return jax.jit(lambda dim, e_c, e, bc: maybe_constrain(
+            dim, interp(e_c, prescale, e, bc)),
+            static_argnums=(0, 3))
+    if name == "bottom":
+        return jax.jit(lambda op, level, e, rhs, cfg, msm: bottom_solve(
+            op, level, e, rhs, cfg, must_subtract_mean=msm),
+            static_argnums=(0, 4, 5))
+    raise KeyError(name)
+
+
+def _phase(timers, lev: int, name: str, fn, args=None, variant: str = ""):
+    """Run one cycle phase. Traced mode (``timers`` is None): run ``fn``
+    inline under a profiler named scope. Timed mode (``timers`` a dict):
+    run the phase as its own cached-jitted program with a device sync and
+    accumulate wall-clock into ``timers[(lev, name)]`` — the per-level
+    accumulator array of the reference (level.h:162-196), giving
+    MGPrintTiming-style tables from an actual solve in solve order.
+    (Each phase pays one dispatch; ~28 ms through the axon tunnel.)"""
+    if timers is None:
+        with scope(f"mg.L{lev}.{name}"):
+            return fn()
+    import time
+
+    jf = _phase_jit(name, variant)
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(jf(*args))
+    timers[(lev, name)] = (timers.get((lev, name), 0.0)
+                           + time.perf_counter() - t0)
+    return out
+
+
 def vcycle(op: OperatorSuite, levels: List[Level], lev: int, e, rhs,
-           cfg: SolverConfig):
+           cfg: SolverConfig, timers=None):
     """One V-cycle from level ``lev`` down to the bottom (MGVCycle, mg.c:1135).
 
     smooth -> residual -> restrict -> recurse -> interpolate(+=) -> smooth;
     the bottom level runs the Krylov solver.
     """
     level = levels[lev]
+    msm = _must_subtract_mean(cfg)
     if lev == len(levels) - 1:
-        with scope(f"mg.L{lev}.bottom"):
-            return bottom_solve(op, level, e, rhs, cfg,
-                                must_subtract_mean=_must_subtract_mean(cfg))
+        return _phase(timers, lev, "bottom",
+                      lambda: bottom_solve(op, level, e, rhs, cfg,
+                                           must_subtract_mean=msm),
+                      args=(op, level, e, rhs, cfg, msm))
 
-    with scope(f"mg.L{lev}.smooth"):
-        e = smooth(op, level, e, rhs, cfg)
-    with scope(f"mg.L{lev}.residual"):
-        t = op.residual(level, e, rhs, cfg)
-    with scope(f"mg.L{lev}.restriction"):
-        # place the coarse rhs on the coarse level's mesh footprint (sharded
-        # or replicated — the agglomeration decision, parallel/mesh.py)
-        rhs_c = maybe_constrain(levels[lev + 1].dim, restrict_cell(t))
+    e = _phase(timers, lev, "smooth",
+               lambda: smooth(op, level, e, rhs, cfg),
+               args=(op, level, e, rhs, cfg))
+    t = _phase(timers, lev, "residual",
+               lambda: op.residual(level, e, rhs, cfg),
+               args=(op, level, e, rhs, cfg))
+    # place the coarse rhs on the coarse level's mesh footprint (sharded
+    # or replicated — the agglomeration decision, parallel/mesh.py)
+    rhs_c = _phase(timers, lev, "restriction",
+                   lambda: maybe_constrain(levels[lev + 1].dim,
+                                           restrict_cell(t)),
+                   args=(levels[lev + 1].dim, t))
     e_c = jnp.zeros_like(rhs_c)
-    e_c = vcycle(op, levels, lev + 1, e_c, rhs_c, cfg)
+    e_c = vcycle(op, levels, lev + 1, e_c, rhs_c, cfg, timers)
     interp = get_interpolation(op.interpolation_vcycle)
-    with scope(f"mg.L{lev}.interpolation"):
-        e = maybe_constrain(level.dim, interp(e_c, 1.0, e, cfg.bc))
-    with scope(f"mg.L{lev}.smooth"):
-        e = smooth(op, level, e, rhs, cfg)
+    e = _phase(timers, lev, "interpolation",
+               lambda: maybe_constrain(level.dim,
+                                       interp(e_c, 1.0, e, cfg.bc)),
+               args=(level.dim, e_c, e, cfg.bc),
+               variant=op.interpolation_vcycle)
+    e = _phase(timers, lev, "smooth",
+               lambda: smooth(op, level, e, rhs, cfg),
+               args=(op, level, e, rhs, cfg))
     return e
 
 
@@ -122,23 +182,27 @@ def mg_solve_fixed(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
 
 
 def fmg_solve(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
-              u0=None):
+              u0=None, timers=None):
     """FMGSolve (mg.c:1237-1344): one F-cycle (+ optional trailing V-cycles).
 
     Restrict F to every level, solve the coarsest, then per level
     {high-order interpolation; V-cycle} up to the finest. Returns
     (u, norm_r, norm_f) — the caller checks norm_r/norm_f < rtol
     (one F-cycle reaches discretization error; README.md:4-10).
+    ``timers``: optional per-level accumulator dict (see ``_phase``).
     """
     levels = hier.levels
     norm_f = blas.norm(f)
 
     # restrict the rhs down the whole ladder (mg.c:1274-1278)
     rhs = [f]
-    with scope("fmg.restrict_rhs"):
-        for lev in range(len(levels) - 1):
-            rhs.append(maybe_constrain(levels[lev + 1].dim,
-                                       restrict_cell(rhs[-1])))
+    msm = _must_subtract_mean(cfg)
+    for lev in range(len(levels) - 1):
+        t = rhs[-1]
+        rhs.append(_phase(timers, lev, "restriction",
+                          lambda lev=lev, t=t: maybe_constrain(
+                              levels[lev + 1].dim, restrict_cell(t)),
+                          args=(levels[lev + 1].dim, t)))
 
     # coarsest-grid solve (mg.c:1283-1287)
     bot = len(levels) - 1
@@ -146,22 +210,25 @@ def fmg_solve(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
         u = u0
     else:
         u = jnp.zeros(levels[bot].shape, levels[bot].beta_i.dtype)
-    with scope("fmg.bottom"):
-        u = bottom_solve(op, levels[bot], u, rhs[bot], cfg,
-                         must_subtract_mean=_must_subtract_mean(cfg))
+    u = _phase(timers, bot, "bottom",
+               lambda: bottom_solve(op, levels[bot], u, rhs[bot], cfg,
+                                    must_subtract_mean=msm),
+               args=(op, levels[bot], u, rhs[bot], cfg, msm))
 
     # climb: high-order interpolation then a V-cycle at each level
     interp_f = get_interpolation(op.interpolation_fcycle)
     for lev in range(bot - 1, -1, -1):
         # prescale 0: overwrite (mg.c:1295)
-        with scope(f"fmg.L{lev}.interpolation_fcycle"):
-            u = maybe_constrain(levels[lev].dim,
-                                interp_f(u, 0.0, None, cfg.bc))
-        u = vcycle(op, levels, lev, u, rhs[lev], cfg)
+        u = _phase(timers, lev, "interpolation_f",
+                   lambda lev=lev, u=u: maybe_constrain(
+                       levels[lev].dim, interp_f(u, 0.0, None, cfg.bc)),
+                   args=(levels[lev].dim, u, None, cfg.bc),
+                   variant=op.interpolation_fcycle)
+        u = vcycle(op, levels, lev, u, rhs[lev], cfg, timers)
 
     # trailing V-cycles (UNLIMIT_FMG_ITERATIONS analog), fixed count
     for _ in range(cfg.post_f_vcycles):
-        u = vcycle(op, levels, 0, u, f, cfg)
+        u = vcycle(op, levels, 0, u, f, cfg, timers)
 
     u, norm_r = _cycle_norm(op, levels[0], u, f, cfg)
     return u, norm_r, norm_f

@@ -73,6 +73,19 @@ def test_residual_matches_xla(setup):
                                rtol=1e-12, atol=1e-10)
 
 
+def test_apply_matches_xla_interior_j_tiles(setup, monkeypatch):
+    """Force (bi, bj) = (16, 8) so the j axis has 6 tiles — the interior
+    j-tile branch of the boundary-extension switch (the auto-picked
+    (16, 24) tiling at n=48 only has first/last j-tiles)."""
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    monkeypatch.setattr(K, "tile_shape", lambda n: (16, 8))
+    ref = op.apply_op(lv, x, dataclasses_xla(cfg))
+    out = K.fv4_apply_pallas(lv, x, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-10)
+
+
 @pytest.mark.parametrize("parity", [0, 1])
 def test_gsrb_sweep_matches_xla(setup, parity):
     cfg, prob, hier, op, x = setup

@@ -93,6 +93,50 @@ def test_vcycles_sharded_match_serial():
 
 
 @requires_8dev
+def test_fv4_chebyshev_fcycle_sharded_matches_serial():
+    """The benchmark operator (fv4, sin^7 problem) + Chebyshev smoother +
+    CABiCGStab bottom, sharded == serial — covers the high-order stencil,
+    its v2/v4 transfers, and the CA-Krylov Gram reduction on the mesh."""
+    from hpgmg_tpu.core.config import BottomSolver, Smoother
+    from hpgmg_tpu.problems.fv import init_problem_fv
+
+    cfg = SolverConfig(op="fv4", a=0.0, dtype=jnp.float64,
+                       smoother=Smoother.CHEBYSHEV,
+                       bottom=BottomSolver.CABICGSTAB)
+    prob = init_problem_fv(32, dtype=jnp.float64)
+    hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
+                           alpha=prob.alpha)
+    op = get_suite(cfg.op)
+    u_ser, r_ser, _ = jax.jit(
+        lambda hier, f: fmg_solve(op, hier, f, cfg))(hier, prob.f)
+
+    mesh = make_mesh()
+    hier_s = shard_hierarchy(mesh, hier)
+    f_s = shard_array(mesh, prob.f)
+    with active_mesh(mesh):
+        u_par, r_par, _ = jax.jit(
+            lambda hier, f: fmg_solve(op, hier, f, cfg))(hier_s, f_s)
+    np.testing.assert_allclose(np.asarray(u_par), np.asarray(u_ser),
+                               rtol=1e-11, atol=1e-13)
+
+
+@requires_8dev
+def test_mgpcg_sharded_matches_serial():
+    from hpgmg_tpu.solve.mg import mgpcg
+
+    cfg, hier, prob = _setup(32)
+    op = get_suite(cfg.op)
+    _, hist_ser = mgpcg(op, hier, prob.f, cfg, max_iters=4)
+
+    mesh = make_mesh()
+    hier_s = shard_hierarchy(mesh, hier)
+    f_s = shard_array(mesh, prob.f)
+    with active_mesh(mesh):
+        _, hist_par = mgpcg(op, hier_s, f_s, cfg, max_iters=4)
+    np.testing.assert_allclose(hist_par, hist_ser, rtol=1e-9)
+
+
+@requires_8dev
 def test_graft_dryrun():
     import __graft_entry__
 
