@@ -101,72 +101,59 @@ class FEGrid:
     # element gather / scatter
     # ------------------------------------------------------------------
 
+    def _gather_matrix(self, axis: int, dtype) -> jax.Array:
+        """(P*M, N) one-axis element-gather matrix: row l*M + e selects
+        node p*e + l. Extraction/assembly as matrices instead of stride-p
+        slices / interleaved scatter-adds — strided lane access is
+        pathologically slow on TPU and composes badly with GSPMD (see
+        ops/transfer.py); the matrix form is an MXU matmul and its exact
+        transpose is the ADD_VALUES assembly."""
+        p = self.degree
+        P = p + 1
+        M = self.M[axis]
+        N = self.nodes[axis]
+        ll = jnp.arange(P)[:, None]
+        ee = jnp.arange(M)[None, :]
+        G = jnp.zeros((P * M, N), dtype)
+        return G.at[ll * M + ee, p * ee + ll].set(1.0)
+
     def extract_elements(self, u: jax.Array) -> jax.Array:
-        """(Nx,Ny,Nz) -> (P,P,P, Mx,My,Mz): element-local node values.
+        """(Nx,Ny,Nz) -> (P,P,P, Mx,My,Mz): element-local node values
+        (DMFEExtractElements, grid.c:936) via three per-axis gather-matrix
+        einsums.
 
         Local (basis) indices lead and the element batch trails — the TPU
         layout rule behind the reference's "ne innermost" SIMD ordering
         (grid.c:933-935): the trailing two dims must be the large batch
         dims or the (8,128) tiling pads small trailing dims by ~100x."""
-        p = self.degree
-        P = p + 1
+        P = self.degree + 1
         Mx, My, Mz = self.M
-        parts = []
-        for i in range(P):
-            ui = lax.slice_in_dim(u, i, i + p * (Mx - 1) + 1, stride=p, axis=0)
-            for j in range(P):
-                uj = lax.slice_in_dim(ui, j, j + p * (My - 1) + 1, stride=p,
-                                      axis=1)
-                for k in range(P):
-                    parts.append(lax.slice_in_dim(
-                        uj, k, k + p * (Mz - 1) + 1, stride=p, axis=2))
-        E = jnp.stack(parts, axis=0)  # (P^3, Mx,My,Mz)
-        return E.reshape(P, P, P, Mx, My, Mz)
-
-    def _strided_add_axis(self, v: jax.Array, y: jax.Array, offset: int,
-                          axis: int) -> jax.Array:
-        """v[offset + p*e along axis] += y[e] without scatter: interleave y
-        with zeros to a dense contiguous block, then one slice-add."""
-        p = self.degree
-        m = y.shape[axis]
-        if p == 1:
-            sl = [slice(None)] * v.ndim
-            sl[axis] = slice(offset, offset + m)
-            return v.at[tuple(sl)].add(y)
-        # stride p: interleave (p-1) zero planes after each entry
-        shape = list(y.shape)
-        shape.insert(axis + 1, p)
-        buf = jnp.zeros(shape, y.dtype)
-        idx = [slice(None)] * len(shape)
-        idx[axis + 1] = 0
-        buf = buf.at[tuple(idx)].set(y)
-        merged = list(y.shape)
-        merged[axis] = m * p
-        dense = buf.reshape(merged)
-        # positions offset .. offset + p*(m-1): drop the trailing zeros
-        sl_d = [slice(None)] * v.ndim
-        sl_d[axis] = slice(0, p * (m - 1) + 1)
-        sl_v = [slice(None)] * v.ndim
-        sl_v[axis] = slice(offset, offset + p * (m - 1) + 1)
-        return v.at[tuple(sl_v)].add(dense[tuple(sl_d)])
+        pr = jax.lax.Precision.HIGHEST
+        Gx, Gy, Gz = (self._gather_matrix(a, u.dtype) for a in range(3))
+        t = jnp.einsum("ai,ijk->ajk", Gx, u, precision=pr)
+        t = t.reshape(P, Mx, *t.shape[1:])
+        t = jnp.einsum("bj,pmjk->pmbk", Gy, t, precision=pr)
+        t = t.reshape(P, Mx, P, My, t.shape[-1])
+        t = jnp.einsum("ck,pmqnk->pmqnc", Gz, t, precision=pr)
+        t = t.reshape(P, Mx, P, My, P, Mz)
+        return t.transpose(0, 2, 4, 1, 3, 5)
 
     def assemble_add(self, E: jax.Array) -> jax.Array:
         """(P,P,P, Mx,My,Mz) element contributions -> (Nx,Ny,Nz) node array,
-        overlapping nodes summed (LocalToGlobal ADD_VALUES)."""
+        overlapping nodes summed (LocalToGlobal ADD_VALUES) — exactly the
+        transposed gather matrices, so the shared-node accumulation is the
+        matmul's contraction (no scatter op at all)."""
         P = self.degree + 1
-        v = jnp.zeros(self.nodes, E.dtype)
-        for i in range(P):
-            for j in range(P):
-                for k in range(P):
-                    y = E[i, j, k]
-                    t = self._strided_add_axis(
-                        jnp.zeros((self.nodes[0],) + y.shape[1:], y.dtype),
-                        y, i, 0)
-                    t = self._strided_add_axis(
-                        jnp.zeros((t.shape[0], self.nodes[1], t.shape[2]),
-                                  y.dtype), t, j, 1)
-                    v = self._strided_add_axis(v, t, k, 2)
-        return v
+        Mx, My, Mz = self.M
+        pr = jax.lax.Precision.HIGHEST
+        Gx, Gy, Gz = (self._gather_matrix(a, E.dtype) for a in range(3))
+        t = E.transpose(0, 3, 1, 4, 2, 5)           # (P,Mx,P,My,P,Mz)
+        t = t.reshape(P, Mx, P, My, P * Mz)
+        t = jnp.einsum("ck,pmqnc->pmqnk", Gz, t, precision=pr)
+        t = t.reshape(P, Mx, P * My, t.shape[-1])
+        t = jnp.einsum("bj,pmbk->pmjk", Gy, t, precision=pr)
+        t = t.reshape(P * Mx, *t.shape[2:])
+        return jnp.einsum("ai,ajk->ijk", Gx, t, precision=pr)
 
     # ------------------------------------------------------------------
     # boundary

@@ -74,8 +74,12 @@ class TestT120PoissonKSP:
 
     def test_ksp_matches_fas_solution(self):
         """The standalone KSP solve and the FAS F-cycle agree on the fine
-        grid (cross-check between the two solve paths)."""
-        grid = FEGrid(M=(8, 12, 16), degree=1, L=(1.0, 1.0, 1.0))
+        grid (cross-check between the two solve paths). Uses the default
+        isotropic-element domain L = M/M_max — with L=(1,1,1) the elements
+        are 2:1 anisotropic and the fixed [0.4,1.4] Chebyshev interval
+        (the reference default, fmg.c:92-93) legitimately diverges, which
+        is exactly why the reference defaults L that way (fmg.c:61)."""
+        grid = FEGrid(M=(8, 12, 16), degree=1, L=(8 / 16, 12 / 16, 1.0))
         op = get_fe_op("poisson1")
         v, _, _ = run_ksp(grid, op, solution="sine", ksp_type="cg",
                           rtol=1e-10, monitor=False)
