@@ -1,43 +1,49 @@
-"""Pallas TPU kernels for the hot fv4 stencils (phase 2: in-kernel BCs).
+"""Pallas TPU kernels for the hot fv4 stencils (phase 3: 2D tiled grid).
 
 Why: the XLA path materializes a ghost-extended solution per stencil
 application (``ghost_fill_fv``) and reads coefficient arrays whose trailing
 extent is n+1/n+2 — on TPU a >128 lane row pads to the next multiple of
 128, so at n=128 every extended array streams ~2x its useful bytes, and
 the ghost fill itself costs a full extra read+write of the solution.
-Measured: ~150us ghost fill + ~170us stencil per GSRB half-sweep at 128^3
-vs ~90us speed-of-light.
 
-Phase-2 design (replaces the phase-1 windowed kernel, which only matched
-XLA — see git history):
+Phase-3 design (supersedes the phase-1 windowed and phase-2 1D-slab
+kernels — see git history):
 
 * **No ghost materialization.** The solution arrives unpadded (n,n,n); the
   separable quartic Dirichlet extension (apply_BCs_v4,
-  boundary_fv.c:262-569) is computed on-VMEM from the slab's halo window.
-* **Lane-aligned coefficients.** ``rebuild_operator`` stores kernel-layout
-  views whose trailing (lane) dim is exactly n: ``kbi`` (n+1, n+2, n) and
-  ``kbj`` (n+2, n+1, n) keep their tangential ghosts in the leading/sublane
-  axes (free / 8-sublane-rounded), ``kbk`` stores the low k-faces
-  (n+2, n+2, n) plus a 1-plane top cap (the n+1 face axis in lanes would
-  pad 2x; the high face of cell k is the low face of cell k+1 — one
-  in-kernel lane shift).
-  Only the k (lane) tangential ghost of kbi/kbj is rebuilt in-kernel (the
-  quintic extrapolation of extrapolate_betas, boundary_fv.c:651).
-* **1D slab grid over i** (the leading axis — the only one Mosaic lets us
-  window at halo granularity; the last two block dims must be 8/128
-  multiples or span the array). j/k span the level. Halo windows are
-  all-``pl.Element`` BlockSpecs with edge-clamped offsets; a 3-case switch
-  synthesizes the physical-boundary i-ghosts, and the j/k ghosts are built
-  for the full slab. k-shifted reads concatenate 1-2 ghost columns instead
-  of materializing an (n+4)-lane array (which would pad to the next 128
-  multiple).
-* One kernel body shared by apply / residual / GSRB (mode + red/black
-  parity are static; the parity mask is the GSRB_FP trick, gsrb.c:78-87,
-  from broadcasted iota + the slab's global offset).
+  boundary_fv.c:262-569) is computed on-VMEM from the tile's halo window.
+* **2D tile grid over (i, j).** The 1D i-slab variant kept the full
+  (j, k) plane resident, which exceeds VMEM for n >= 256 (the phase-2
+  kernel refused those sizes and fell back to XLA, which degrades ~2x per
+  DOF at 256^3). Tiling j as well caps VMEM at O(bi*bj*n) so every size
+  from 32^3 up runs in-kernel, and shrinks the halo-recompute overhead
+  at 128^3 from ~2.0x to ~1.56x.
+  - i is the leading (unconstrained) axis: windows are (bi+4) rows with
+    edge-clamped ``pl.Element`` offsets, a 3-case scalar-mask switch
+    synthesizes the physical-boundary ghosts.
+  - j is the sublane axis: block dims must be multiples of 8, so the
+    window is (bj+8) rows (halo 4 >= the needed 2) at clamped offsets,
+    with the same 3-case switch; bj itself is a multiple of 8 so the
+    output block is legal.
+  - k (lanes) spans the level; shifted reads concatenate 1-2 ghost
+    columns instead of materializing an (n+4)-lane array.
+* **Lane-aligned, j-padded coefficients.** ``rebuild_operator`` stores
+  kernel-layout views whose trailing (lane) dim is exactly n, and whose
+  j (sublane) dim is padded to n+16 with the live rows at a +4/+3 offset
+  so each (bj+8)-row window covers the tile's tangential ghosts at a
+  FIXED in-window offset (no traced slicing): ``kbi`` (n+1, n+8, n),
+  ``kbj`` (n+2, n+8, n), ``kbk`` (n+2, n+8, n) + 1-plane top cap (the
+  n+1 face axis in lanes would pad 2x; the high face of cell k is the
+  low face of cell k+1 — one in-kernel lane shift). Only the k (lane)
+  tangential ghosts of kbi/kbj are rebuilt in-kernel (the quintic
+  extrapolation of extrapolate_betas, boundary_fv.c:651).
+* One kernel body shared by apply / residual / GSRB (mode is static; the
+  red/black parity enters through which pre-masked ``kdinv`` field is
+  passed — the GSRB_FP trick, gsrb.c:78-87, folded at MGBuild time).
 
 Unsupported here (XLA fallback): periodic BCs (ghosts need the opposite
-domain face — not in a local window), Helmholtz alpha term, dims outside
-the [32, ~256] VMEM-feasible band, non-fv4 suites.
+domain face — not in a local window), Helmholtz alpha term, dims not
+tileable as below, non-fv4 suites.
 """
 
 from __future__ import annotations
@@ -56,39 +62,42 @@ from hpgmg_tpu.core.level import Level
 INTERPRET = False
 
 _MIN_DIM = 32
-# Budget for the _vmem_bytes estimate. Empirical (v5e, n=128): the b=8
-# slab estimates 12.7MB and Mosaic OOMs; b=4 estimates 7.1MB and fits —
-# Mosaic's stack temporaries for the 21 shifted stencil reads are large.
+# Budget for the _vmem_bytes estimate. Empirical (v5e): Mosaic's stack
+# temporaries for the ~21 shifted stencil reads are large, so stay well
+# under the architectural 16MB.
 _VMEM_BUDGET = 11 * 2 ** 20
 
 
-def _sub8(r: int) -> int:
-    return -(-r // 8) * 8
-
-
-def _vmem_bytes(n: int, b: int) -> int:
-    """Rough f32 VMEM footprint: double-buffered windows + the dominant
-    temporaries (extended solution slab and ~6 live stencil values).
-    Lanes (last dim) round up to 128, sublanes to 8 — a 64^3 level pays 2x
-    on every buffer."""
+def _vmem_bytes(n: int, bi: int, bj: int) -> int:
+    """Rough f32 VMEM footprint of one (bi, bj) tile: double-buffered
+    windows + the dominant temporaries. Lanes (last dim) round to 128."""
     ln = -(-n // 128) * 128
-    win = ((b + 4) * n * ln                    # x halo window
-           + (b + 1) * _sub8(n + 2) * ln       # kbi
-           + (b + 2) * _sub8(n + 1) * ln       # kbj
-           + (b + 2) * _sub8(n + 2) * ln       # kbk (+ tiny top plane)
-           + 3 * b * n * ln)                   # rhs + dinv + out
-    tmp = (b + 4) * _sub8(n + 4) * ln + 6 * b * n * ln
+    wj = bj + 16
+    win = ((bi + 4) * wj * ln        # x halo window
+           + 3 * (bi + 2) * wj * ln  # kbi/kbj/kbk (+ tiny top plane)
+           + 3 * bi * bj * ln)       # rhs + dinv + out
+    tmp = (bi + 4) * (bj + 8) * ln + 8 * bi * bj * ln
     return 4 * (2 * win + tmp)
 
 
-def slab_rows(n: int):
-    """i-slab height: the tallest divisor slab with >= 2 slabs (the
-    edge-case switch needs distinct first/last slabs) that fits VMEM.
-    Taller slabs amortize the +-2 halo re-read."""
-    for b in (32, 16, 8, 4, 2):
-        if n % b == 0 and n // b >= 2 and _vmem_bytes(n, b) <= _VMEM_BUDGET:
-            return b
-    return None
+def tile_shape(n: int):
+    """(bi, bj) for the 2D tile grid: bj must be a multiple of 8 dividing
+    n with >= 2 tiles (the edge-case switches need distinct first/last
+    tiles); bi is any divisor with >= 2 tiles. Prefer the largest tile
+    that fits VMEM (less halo recompute)."""
+    best = None
+    for bj in (32, 24, 16, 8):
+        if n % bj or n // bj < 2 or n < bj + 16:
+            continue
+        for bi in (64, 32, 16, 8, 4):
+            if n % bi or n // bi < 2:
+                continue
+            if _vmem_bytes(n, bi, bj) > _VMEM_BUDGET:
+                continue
+            key = (bi * bj, min(bi, bj))
+            if best is None or key > best[0]:
+                best = (key, (bi, bj))
+    return best[1] if best else None
 
 
 def use_pallas(cfg: SolverConfig, level: Level, x=None) -> bool:
@@ -102,7 +111,7 @@ def use_pallas(cfg: SolverConfig, level: Level, x=None) -> bool:
         return False
     if getattr(level, "kbi", None) is None:
         return False
-    if level.dim < _MIN_DIM or slab_rows(level.dim) is None:
+    if level.dim < _MIN_DIM or tile_shape(level.dim) is None:
         return False
     if INTERPRET:
         return True
@@ -138,39 +147,63 @@ def _quintic_ghost(w, axis: int, lo: bool):
     return 5.0 * c0 - 10.0 * c1 + 10.0 * c2 - 5.0 * c3 + c4
 
 
-def _ext_slab_axis(w, b: int, t, nt: int):
-    """Turn a clamped i-halo window (b+4 rows) into the boundary-extended
-    slab: interior windows already hold [t*b-2, t*b+b+2); first/last
-    windows hold the domain edge and the two ghost rows are synthesized
-    with the v4 formulas. ``t`` is the traced slab index; the three
-    candidates are combined with exact 0/1 scalar masks because Mosaic
-    cannot legalize the scalar-predicate vector selects a lax.switch
-    lowers to."""
-    g1l, g2l = _v4_ghost_pair(w, 0, lo=True)
-    first = jnp.concatenate(
-        [g2l, g1l, lax.slice_in_dim(w, 0, b + 2, axis=0)], 0)
-    g1h, g2h = _v4_ghost_pair(w, 0, lo=False)
-    last = jnp.concatenate(
-        [lax.slice_in_dim(w, 2, b + 4, axis=0), g1h, g2h], 0)
+def _ext_tile_axis(w, b: int, t, nt: int, axis: int, pad: int):
+    """Turn a clamped halo window (b + 2*pad rows along ``axis``) into the
+    boundary-extended tile (b + 4 rows): interior tiles already hold
+    [t*b - pad, t*b + b + pad) and just slice out the +-2 halo; first/last
+    tiles hold the domain edge and the two ghost rows are synthesized with
+    the v4 formulas. ``t`` is the traced tile index; the three candidates
+    are combined with exact 0/1 scalar masks because Mosaic cannot
+    legalize the scalar-predicate vector selects a lax.switch lowers to."""
+    def sl(lo, hi):
+        return lax.slice_in_dim(w, lo, hi, axis=axis)
+
+    g1l, g2l = _v4_ghost_pair(w, axis, lo=True)
+    first = jnp.concatenate([g2l, g1l, sl(0, b + 2)], axis)
+    g1h, g2h = _v4_ghost_pair(w, axis, lo=False)
+    m = b + 2 * pad
+    last = jnp.concatenate([sl(m - (b + 2), m), g1h, g2h], axis)
+    mid = sl(pad - 2, pad + b + 2)
     mf = (t == 0).astype(w.dtype)
     ml = (t == nt - 1).astype(w.dtype)
-    return mf * first + (1.0 - mf - ml) * w + ml * last
+    return mf * first + (1.0 - mf - ml) * mid + ml * last
 
 
 def _lane_shift(core, glo, ghi, dk: int):
     """Shifted lane read: ``core`` has exactly n lanes; ``glo``/``ghi`` are
     the 1-2 boundary ghost columns ordered [far, near] / [near, far].
-    Concatenating columns keeps every value at <= n lanes (no pad)."""
+
+    Implemented as a lane rotate + per-ghost-column masked selects (the
+    ghost column lane-broadcasts against an iota mask) — every value stays
+    at exactly n lanes, and unlike a lane-dim concatenate this lowers for
+    multi-lane-tile rows too (Mosaic rejects n>128 lane concats with
+    'offset mismatch on non-concat dimension')."""
     n = core.shape[-1]
     if dk == 0:
         return core
-    if dk < 0:
-        g = lax.slice_in_dim(glo, glo.shape[-1] + dk, glo.shape[-1], axis=-1)
-        return jnp.concatenate([g, lax.slice_in_dim(core, 0, n + dk, axis=-1)],
-                               axis=-1)
-    g = lax.slice_in_dim(ghi, 0, dk, axis=-1)
-    return jnp.concatenate([lax.slice_in_dim(core, dk, n, axis=-1), g],
-                           axis=-1)
+    if n <= 128:
+        # single lane tile: the concat form lowers fine and is ~15% faster
+        if dk < 0:
+            g = lax.slice_in_dim(glo, glo.shape[-1] + dk, glo.shape[-1],
+                                 axis=-1)
+            return jnp.concatenate(
+                [g, lax.slice_in_dim(core, 0, n + dk, axis=-1)], axis=-1)
+        g = lax.slice_in_dim(ghi, 0, dk, axis=-1)
+        return jnp.concatenate(
+            [lax.slice_in_dim(core, dk, n, axis=-1), g], axis=-1)
+    rolled = jnp.roll(core, -dk, axis=-1)
+    idx = lax.broadcasted_iota(jnp.int32, core.shape, core.ndim - 1)
+    out = rolled
+    if dk > 0:
+        for c in range(dk):  # lanes n-dk+c take ghi column c
+            col = lax.slice_in_dim(ghi, c, c + 1, axis=-1)
+            out = jnp.where(idx == n - dk + c, col, out)
+    else:
+        for c in range(-dk):  # lanes c take glo columns [dk:] in order
+            col = lax.slice_in_dim(glo, glo.shape[-1] + dk + c,
+                                   glo.shape[-1] + dk + c + 1, axis=-1)
+            out = jnp.where(idx == c, col, out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +211,7 @@ def _lane_shift(core, glo, ghi, dk: int):
 # ---------------------------------------------------------------------------
 
 def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
-             ebk, ebk_top, b: int, n: int):
+             ebk, ebk_top, b: int, J: int):
     """fv4 A(u) in telescoping flux form (the reference's flux formulation,
     operators.flux.c / operators/gsrb.flux.c): per face
     ``TF = beta_f*(15*d1 - dbig) + 0.25*(G_t1 + G_t2)`` with
@@ -196,82 +229,84 @@ def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
     ~2x the whole main term; this form roughly halves the kernel's VPU
     work, which (not HBM) is the binding constraint.
 
-    Index conventions: ``xj`` is the (b+4, n+4, n) i/j-extended slab with
+    Index conventions: ``xj`` is the (b+4, J+4, n) i/j-extended tile with
     k ghost columns ``xglo``/``xghi`` ([far, near] / [near, far]); ext
     index = local cell + 2. Face m along an axis sits between cells m-1
-    and m. Returns main + 0.25*mixed (caller applies TWELFTH and
+    and m. ``b``/``J`` are the tile's i/j extents; lanes are the full
+    level. Returns main + 0.25*mixed (caller applies TWELFTH and
     -b*h2inv), matching stencil_ax's grouping.
     """
     def sl(a, i0, i1, j0, j1):
         return lax.slice(a, (i0, j0, 0), (i1, j1, a.shape[2]))
 
     q = 0.25
+    n = xj.shape[2]
 
     # central-difference fields (ext index = cell + 2)
-    # cdi[r, j, k] = x(i+1) - x(i-1) at i = r,  i in [0, b),  j in [-1, n]
-    cdi = sl(xj, 3, b + 3, 1, n + 3) - sl(xj, 1, b + 1, 1, n + 3)
-    cdi_glo = (sl(xglo, 3, b + 3, 1, n + 3)
-               - sl(xglo, 1, b + 1, 1, n + 3))[..., 1:]
-    cdi_ghi = (sl(xghi, 3, b + 3, 1, n + 3)
-               - sl(xghi, 1, b + 1, 1, n + 3))[..., :1]
-    # cdj[r, j, k] = x(j+1) - x(j-1),  i in [-1, b],  j in [0, n)
-    cdj = sl(xj, 1, b + 3, 3, n + 3) - sl(xj, 1, b + 3, 1, n + 1)
-    cdj_glo = (sl(xglo, 1, b + 3, 3, n + 3)
-               - sl(xglo, 1, b + 3, 1, n + 1))[..., 1:]
-    cdj_ghi = (sl(xghi, 1, b + 3, 3, n + 3)
-               - sl(xghi, 1, b + 3, 1, n + 1))[..., :1]
-    # cdk = x(k+1) - x(k-1),  i in [-1, b],  j in [-1, n]
-    xt = sl(xj, 1, b + 3, 1, n + 3)
-    cdk = (_lane_shift(xt, sl(xglo, 1, b + 3, 1, n + 3),
-                       sl(xghi, 1, b + 3, 1, n + 3), 1)
-           - _lane_shift(xt, sl(xglo, 1, b + 3, 1, n + 3),
-                         sl(xghi, 1, b + 3, 1, n + 3), -1))
+    # cdi[r, j, k] = x(i+1) - x(i-1) at i = r,  i in [0, b),  j in [-1, J]
+    cdi = sl(xj, 3, b + 3, 1, J + 3) - sl(xj, 1, b + 1, 1, J + 3)
+    cdi_glo = (sl(xglo, 3, b + 3, 1, J + 3)
+               - sl(xglo, 1, b + 1, 1, J + 3))[..., 1:]
+    cdi_ghi = (sl(xghi, 3, b + 3, 1, J + 3)
+               - sl(xghi, 1, b + 1, 1, J + 3))[..., :1]
+    # cdj[r, j, k] = x(j+1) - x(j-1),  i in [-1, b],  j in [0, J)
+    cdj = sl(xj, 1, b + 3, 3, J + 3) - sl(xj, 1, b + 3, 1, J + 1)
+    cdj_glo = (sl(xglo, 1, b + 3, 3, J + 3)
+               - sl(xglo, 1, b + 3, 1, J + 1))[..., 1:]
+    cdj_ghi = (sl(xghi, 1, b + 3, 3, J + 3)
+               - sl(xghi, 1, b + 3, 1, J + 1))[..., :1]
+    # cdk = x(k+1) - x(k-1),  i in [-1, b],  j in [-1, J]
+    xt = sl(xj, 1, b + 3, 1, J + 3)
+    cdk = (_lane_shift(xt, sl(xglo, 1, b + 3, 1, J + 3),
+                       sl(xghi, 1, b + 3, 1, J + 3), 1)
+           - _lane_shift(xt, sl(xglo, 1, b + 3, 1, J + 3),
+                         sl(xghi, 1, b + 3, 1, J + 3), -1))
 
     # ---- i faces: m in [0, b+1) between cells m-1, m ----
-    d1 = sl(xj, 2, b + 3, 2, n + 2) - sl(xj, 1, b + 2, 2, n + 2)
-    dbig = sl(xj, 3, b + 4, 2, n + 2) - sl(xj, 0, b + 1, 2, n + 2)
-    bc = ebi[:, 1:n + 1, :]
+    d1 = sl(xj, 2, b + 3, 2, J + 2) - sl(xj, 1, b + 2, 2, J + 2)
+    dbig = sl(xj, 3, b + 4, 2, J + 2) - sl(xj, 0, b + 1, 2, J + 2)
+    bc = ebi[:, 1:J + 1, :]
     # G diffs across the face ride the free leading axis: cd_t(m)-cd_t(m-1)
     gj = (ebi[:, 2:, :] - ebi[:, :-2, :]) * (cdj[1:] - cdj[:-1])
-    gk = ((_lane_shift(bc, bi_glo[:, 1:n + 1], bi_ghi[:, 1:n + 1], 1)
-           - _lane_shift(bc, bi_glo[:, 1:n + 1], bi_ghi[:, 1:n + 1], -1))
-          * (cdk[1:, 1:n + 1] - cdk[:-1, 1:n + 1]))
-    tf = bc * (15.0 * d1 - dbig) + q * (gj + gk)            # (b+1, n, n)
+    gk = ((_lane_shift(bc, bi_glo[:, 1:J + 1], bi_ghi[:, 1:J + 1], 1)
+           - _lane_shift(bc, bi_glo[:, 1:J + 1], bi_ghi[:, 1:J + 1], -1))
+          * (cdk[1:, 1:J + 1] - cdk[:-1, 1:J + 1]))
+    tf = bc * (15.0 * d1 - dbig) + q * (gj + gk)            # (b+1, J, n)
     ax = tf[1:] - tf[:-1]
 
-    # ---- j faces: m in [0, n+1) ----
-    d1 = sl(xj, 2, b + 2, 2, n + 3) - sl(xj, 2, b + 2, 1, n + 2)
-    dbig = sl(xj, 2, b + 2, 3, n + 4) - sl(xj, 2, b + 2, 0, n + 1)
+    # ---- j faces: m in [0, J+1) ----
+    d1 = sl(xj, 2, b + 2, 2, J + 3) - sl(xj, 2, b + 2, 1, J + 2)
+    dbig = sl(xj, 2, b + 2, 3, J + 4) - sl(xj, 2, b + 2, 0, J + 1)
     bc = ebj[1:b + 1]
     gi = (ebj[2:] - ebj[:-2]) * (cdi[:, 1:, :] - cdi[:, :-1, :])
     gk = ((_lane_shift(bc, bj_glo[1:b + 1], bj_ghi[1:b + 1], 1)
            - _lane_shift(bc, bj_glo[1:b + 1], bj_ghi[1:b + 1], -1))
           * (cdk[1:b + 1, 1:] - cdk[1:b + 1, :-1]))
-    tf = bc * (15.0 * d1 - dbig) + q * (gi + gk)            # (b, n+1, n)
+    tf = bc * (15.0 * d1 - dbig) + q * (gi + gk)            # (b, J+1, n)
     ax = ax + tf[:, 1:, :] - tf[:, :-1, :]
 
     # ---- k faces: m in [0, n) in lanes + the top face plane ----
-    xcc = sl(xj, 2, b + 2, 2, n + 2)                        # (b, n, n)
-    gloc = sl(xglo, 2, b + 2, 2, n + 2)
-    ghic = sl(xghi, 2, b + 2, 2, n + 2)
+    xcc = sl(xj, 2, b + 2, 2, J + 2)                        # (b, J, n)
+    gloc = sl(xglo, 2, b + 2, 2, J + 2)
+    ghic = sl(xghi, 2, b + 2, 2, J + 2)
     d1 = xcc - _lane_shift(xcc, gloc, ghic, -1)
     d1_top = ghic[..., :1] - xcc[..., n - 1:]
     dbig = (_lane_shift(xcc, gloc, ghic, 1)
             - _lane_shift(xcc, gloc, ghic, -2))
     dbig_top = ghic[..., 1:] - xcc[..., n - 2:n - 1]
-    bc = ebk[1:b + 1, 1:n + 1, :]
-    cdic = cdi[:, 1:n + 1, :]
+    bc = ebk[1:b + 1, 1:J + 1, :]
+    cdic = cdi[:, 1:J + 1, :]
     cdjc = cdj[1:b + 1]
-    cdi_m1 = _lane_shift(cdic, cdi_glo[:, 1:n + 1], cdi_ghi[:, 1:n + 1], -1)
+    cdi_m1 = _lane_shift(cdic, cdi_glo[:, 1:J + 1], cdi_ghi[:, 1:J + 1], -1)
     cdj_m1 = _lane_shift(cdjc, cdj_glo[1:b + 1], cdj_ghi[1:b + 1], -1)
-    gi = (ebk[2:, 1:n + 1] - ebk[:-2, 1:n + 1]) * (cdic - cdi_m1)
+    gi = (ebk[2:, 1:J + 1] - ebk[:-2, 1:J + 1]) * (cdic - cdi_m1)
     gj = (ebk[1:b + 1, 2:] - ebk[1:b + 1, :-2]) * (cdjc - cdj_m1)
-    tf = bc * (15.0 * d1 - dbig) + q * (gi + gj)            # (b, n, n)
-    gi_t = ((ebk_top[2:, 1:n + 1] - ebk_top[:-2, 1:n + 1])
-            * (cdi_ghi[:, 1:n + 1] - cdic[..., n - 1:]))
+    tf = bc * (15.0 * d1 - dbig) + q * (gi + gj)            # (b, J, n)
+    gi_t = ((ebk_top[2:, 1:J + 1] - ebk_top[:-2, 1:J + 1])
+            * (cdi_ghi[:, 1:J + 1] - cdic[..., n - 1:]))
     gj_t = ((ebk_top[1:b + 1, 2:] - ebk_top[1:b + 1, :-2])
             * (cdj_ghi[1:b + 1] - cdjc[..., n - 1:]))
-    tf_top = (ebk_top[1:b + 1, 1:n + 1]
+    tf_top = (ebk_top[1:b + 1, 1:J + 1]
               * (15.0 * d1_top - dbig_top) + q * (gi_t + gj_t))
     ax = ax + _lane_shift(tf, None, tf_top, 1) - tf
     return ax
@@ -281,8 +316,8 @@ def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
 # kernel body
 # ---------------------------------------------------------------------------
 
-def _fv4_kernel(*refs, n, b, nt, mode, b_h2inv):
-    """Shared fv4 stencil body on a (b, n, n) i-slab.
+def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv):
+    """Shared fv4 stencil body on a (bi, bj, n) tile.
 
     mode: 'apply' -> Ax; 'residual' -> rhs - Ax;
           'gsrb' -> x + kdinv[parity] * (rhs - Ax)
@@ -298,22 +333,25 @@ def _fv4_kernel(*refs, n, b, nt, mode, b_h2inv):
         k += 1
     out_ref = refs[k]
 
-    t = pl.program_id(0)
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
 
     # separable boundary extension, same axis order as ghost_fill_fv:
     # i (from interior), then j (reads i-ghosts), then k (reads both)
-    xi = _ext_slab_axis(xw_ref[...], b, t, nt)             # (b+4, n, n)
-    g1lo, g2lo = _v4_ghost_pair(xi, 1, lo=True)
-    g1hi, g2hi = _v4_ghost_pair(xi, 1, lo=False)
-    xj = jnp.concatenate([g2lo, g1lo, xi, g1hi, g2hi], 1)  # (b+4, n+4, n)
+    xi = _ext_tile_axis(xw_ref[...], bi, ti, nti, 0, 2)  # (bi+4, bj+16, n)
+    xj = _ext_tile_axis(xi, bj, tj, ntj, 1, 8)           # (bi+4, bj+4, n)
     k1lo, k2lo = _v4_ghost_pair(xj, 2, lo=True)
     k1hi, k2hi = _v4_ghost_pair(xj, 2, lo=False)
     xglo = jnp.concatenate([k2lo, k1lo], axis=-1)
     xghi = jnp.concatenate([k1hi, k2hi], axis=-1)
 
-    # face coefficients: tangential i/j ghosts are baked into storage;
-    # only the lane (k) ghost of kbi/kbj is rebuilt here
-    ebi, ebj = bi_ref[...], bj_ref[...]
+    # face coefficients: i/j tangential ghosts are baked into the j-padded
+    # storage at fixed in-window offsets (see kernel_beta_views); only the
+    # lane (k) ghosts of kbi/kbj are rebuilt here
+    ebi = bi_ref[:, 3:bj + 5, :]       # (bi+1, bj+2, n)
+    ebj = bj_ref[:, 4:bj + 5, :]       # (bi+2, bj+1, n)
+    ebk = bk_ref[:, 3:bj + 5, :]       # (bi+2, bj+2, n)
+    ebk_top = bktop_ref[:, 3:bj + 5, :]
     bi_glo = _quintic_ghost(ebi, 2, lo=True)
     bi_ghi = _quintic_ghost(ebi, 2, lo=False)
     bj_glo = _quintic_ghost(ebj, 2, lo=True)
@@ -321,7 +359,7 @@ def _fv4_kernel(*refs, n, b, nt, mode, b_h2inv):
 
     ax = (-b_h2inv / 12.0) * _flux_ax(
         xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
-        bk_ref[...], bktop_ref[...], b, n)
+        ebk, ebk_top, bi, bj)
 
     if mode == "apply":
         out_ref[...] = ax
@@ -334,44 +372,54 @@ def _fv4_kernel(*refs, n, b, nt, mode, b_h2inv):
     # per-parity dinv field (kdinv, zeros at non-updated cells) — the
     # GSRB_FP trick (gsrb.c:78-87) moved to MGBuild time, saving ~5 VPU
     # passes of in-kernel iota/mask work per half-sweep
-    xc = xj[2:2 + b, 2:2 + n, :]
+    xc = xj[2:2 + bi, 2:2 + bj, :]
     out_ref[...] = xc + dinv_ref[...] * (rhs_ref[...] - ax)
 
 
 def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
     n = level.dim
-    b = slab_rows(n)
-    nt = n // b
+    bi, bj = tile_shape(n)
+    nti, ntj = n // bi, n // bj
     # note: parity enters only through which kdinv field rides in `dinv` —
     # both half-sweeps share ONE compiled kernel
     kernel = functools.partial(
-        _fv4_kernel, n=n, b=b, nt=nt, mode=mode,
+        _fv4_kernel, n=n, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
         b_h2inv=cfg.b * level.h2inv)
 
     E = pl.Element
 
+    def xmap(ti, tj):
+        # j (sublane) window offsets must be PROVABLY multiples of 8 for
+        # Mosaic, and its divisibility analysis cannot see through clamp —
+        # so clip in units of 8 and scale after (i, the untiled leading
+        # axis, can clamp at cell granularity)
+        return (jnp.clip(ti * bi - 2, 0, n - bi - 4),
+                8 * jnp.clip(tj * (bj // 8) - 1, 0, (n - bj - 16) // 8), 0)
+
+    def bmap(ti, tj):
+        return (ti * bi, tj * bj, 0)
+
     in_specs = [
-        pl.BlockSpec((E(b + 4), E(n), E(n)),
-                     lambda t: (jnp.clip(t * b - 2, 0, n - b - 4), 0, 0)),
-        pl.BlockSpec((E(b + 1), E(n + 2), E(n)), lambda t: (t * b, 0, 0)),
-        pl.BlockSpec((E(b + 2), E(n + 1), E(n)), lambda t: (t * b, 0, 0)),
-        pl.BlockSpec((E(b + 2), E(n + 2), E(n)), lambda t: (t * b, 0, 0)),
-        pl.BlockSpec((E(b + 2), E(n + 2), E(1)), lambda t: (t * b, 0, 0)),
+        pl.BlockSpec((E(bi + 4), E(bj + 16), E(n)), xmap),
+        pl.BlockSpec((E(bi + 1), E(bj + 16), E(n)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 16), E(n)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 16), E(n)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 16), E(1)), bmap),
     ]
     args = [x, level.kbi, level.kbj, level.kbk, level.kbk_top]
-    slab_spec = pl.BlockSpec((b, n, n), lambda t: (t, 0, 0))
+    tile_spec = pl.BlockSpec((bi, bj, n), lambda ti, tj: (ti, tj, 0))
     if mode != "apply":
-        in_specs.append(slab_spec)
+        in_specs.append(tile_spec)
         args.append(rhs)
     if mode == "gsrb":
-        in_specs.append(slab_spec)
+        in_specs.append(tile_spec)
         args.append(dinv)
 
     return pl.pallas_call(
         kernel,
-        grid=(nt,),
+        grid=(nti, ntj),
         in_specs=in_specs,
-        out_specs=slab_spec,
+        out_specs=tile_spec,
         out_shape=jax.ShapeDtypeStruct(level.shape, x.dtype),
         interpret=INTERPRET,
     )(*args)
@@ -397,17 +445,26 @@ def fv4_gsrb_sweep_pallas(level: Level, x, rhs, cfg: SolverConfig,
 
 def kernel_beta_views(beta_i_ext, beta_j_ext, beta_k_ext):
     """Slice the tangentially-extended face coefficients into the
-    lane-aligned kernel layout (trailing dim exactly n):
+    lane-aligned, j-padded kernel layout (trailing dim exactly n; j dim
+    padded to n+8 so a (bj+8)-row window at offset tj*bj covers the tile's
+    tangential ghost rows at a fixed in-window offset):
 
-    kbi (n+1, n+2, n): i-faces, j-ghosts in sublanes, k-ghosts dropped
-    kbj (n+2, n+1, n): i-ghosts leading, j-faces in sublanes
-    kbk (n+2, n+2, n) + kbk_top (n+2, n+2, 1): k-faces — the face axis in
+    kbi (n+1, n+16, n): i-faces; live j-rows (ghost -1 .. n) at pad offset
+        +3 (window rows [3, bj+5)); k-ghosts dropped (rebuilt in-kernel)
+    kbj (n+2, n+16, n): j-faces (0..n) at pad offset +4 (rows [4, bj+5))
+    kbk (n+2, n+16, n) + kbk_top (n+2, n+16, 1): k-faces — the face axis in
         lanes would pad n+1 -> 2x, so store the low faces plus the single
         top plane; the high face of cell k is the low face of cell k+1
         (one in-kernel lane shift)
     """
-    kbi = beta_i_ext[:, :, 1:-1]
-    kbj = beta_j_ext[:, :, 1:-1]
-    kbk = beta_k_ext[:, :, :-1]
-    kbk_top = beta_k_ext[:, :, -1:]
+    n = beta_i_ext.shape[1] - 2  # domain cells per axis
+
+    def padj(a, lead):
+        pad_hi = (n + 16) - lead - a.shape[1]
+        return jnp.pad(a, ((0, 0), (lead, pad_hi), (0, 0)))
+
+    kbi = padj(beta_i_ext[:, :, 1:-1], 3)          # j rows: -1 .. n
+    kbj = padj(beta_j_ext[:, :, 1:-1], 4)          # j faces: 0 .. n
+    kbk = padj(beta_k_ext[:, :, :-1], 3)
+    kbk_top = padj(beta_k_ext[:, :, -1:], 3)
     return kbi, kbj, kbk, kbk_top

@@ -159,7 +159,7 @@ class FV4(base.OperatorSuite):
 
     def rebuild_operator(self, level: Level, cfg: SolverConfig) -> Level:
         from hpgmg_tpu.kernels.stencils import (_MIN_DIM, kernel_beta_views,
-                                                slab_rows)
+                                                tile_shape)
 
         # extend betas tangentially once per level (extrapolate_betas analog)
         lv = dataclasses.replace(
@@ -174,7 +174,7 @@ class FV4(base.OperatorSuite):
         # use_pallas gate; tracing dozens of probe kernels into the one-time
         # build program would bloat/crash the compile)
         if (cfg.kernels != "xla" and cfg.bc == BC.DIRICHLET
-                and level.dim >= _MIN_DIM and slab_rows(level.dim)):
+                and level.dim >= _MIN_DIM and tile_shape(level.dim)):
             from hpgmg_tpu.core.level import rb_mask
 
             kbi, kbj, kbk, kbk_top = kernel_beta_views(
