@@ -16,7 +16,7 @@ kernels — see git history):
   (j, k) plane resident, which exceeds VMEM for n >= 256 (the phase-2
   kernel refused those sizes and fell back to XLA, which degrades ~2x per
   DOF at 256^3). Tiling j as well caps VMEM at O(bi*bj*n) so every size
-  from 32^3 up runs in-kernel, and shrinks the halo-recompute overhead
+  from 32^3 up can run in-kernel (auto-selected from 64^3 up), and shrinks the halo-recompute overhead
   at 128^3 from ~2.0x to ~1.56x.
   - i is the leading (unconstrained) axis: windows are (bi+4) rows with
     edge-clamped ``pl.Element`` offsets, a 3-case scalar-mask switch
@@ -62,6 +62,10 @@ from hpgmg_tpu.core.level import Level
 INTERPRET = False
 
 _MIN_DIM = 32
+# Below 64^3 the XLA fused path wins on real hardware: a Pallas launch
+# costs ~30 us while the whole 32^3 XLA half-sweep is ~8 us (measured
+# v5e). "auto" applies this floor; kernels="pallas" forces the kernel.
+_AUTO_MIN_DIM = 64
 # Budget for the _vmem_bytes estimate. Empirical (v5e): Mosaic's stack
 # temporaries for the ~21 shifted stencil reads are large, so stay well
 # under the architectural 16MB.
@@ -112,6 +116,9 @@ def use_pallas(cfg: SolverConfig, level: Level, x=None) -> bool:
     if getattr(level, "kbi", None) is None:
         return False
     if level.dim < _MIN_DIM or tile_shape(level.dim) is None:
+        return False
+    if (getattr(cfg, "kernels", "auto") != "pallas"
+            and level.dim < _AUTO_MIN_DIM):
         return False
     if INTERPRET:
         return True

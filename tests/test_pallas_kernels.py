@@ -43,7 +43,11 @@ def setup():
 def test_use_pallas_gating(setup):
     cfg, prob, hier, op, x = setup
     lv = hier.levels[0]
-    assert lv.kbi is not None and K.use_pallas(cfg, lv, x)
+    import dataclasses as dc
+    # auto applies the >=64 perf floor on 48^3; forcing selects the kernel
+    assert lv.kbi is not None
+    assert not K.use_pallas(cfg, lv, x)
+    assert K.use_pallas(dc.replace(cfg, kernels="pallas"), lv, x)
     # too-small levels never get the kernel layout
     assert all(l.kbi is None for l in hier.levels if l.dim < K._MIN_DIM)
     import dataclasses
