@@ -77,9 +77,9 @@ def _vmem_bytes(n: int, bi: int, bj: int) -> int:
     windows + the dominant temporaries. Lanes (last dim) round to 128."""
     ln = -(-n // 128) * 128
     wj = bj + 16
-    win = ((bi + 4) * wj * ln        # x halo window
-           + 3 * (bi + 2) * wj * ln  # kbi/kbj/kbk (+ tiny top plane)
-           + 3 * bi * bj * ln)       # rhs + dinv + out
+    win = ((bi + 4) * wj * ln              # x halo window
+           + 3 * (bi + 2) * (bj + 8) * ln  # kbi/kbj/kbk (+ tiny top plane)
+           + 3 * bi * bj * ln)             # rhs + dinv + out
     tmp = (bi + 4) * (bj + 8) * ln + 8 * bi * bj * ln
     return 4 * (2 * win + tmp)
 
@@ -406,12 +406,15 @@ def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
     def bmap(ti, tj):
         return (ti * bi, tj * bj, 0)
 
+    # x needs the full +-2 halo inside an 8-aligned window (bj+16 rows);
+    # the betas only need their +-1 tangential ghosts, which the n+8
+    # padded storage serves at fixed offsets from a (bj+8)-row window
     in_specs = [
         pl.BlockSpec((E(bi + 4), E(bj + 16), E(n)), xmap),
-        pl.BlockSpec((E(bi + 1), E(bj + 16), E(n)), bmap),
-        pl.BlockSpec((E(bi + 2), E(bj + 16), E(n)), bmap),
-        pl.BlockSpec((E(bi + 2), E(bj + 16), E(n)), bmap),
-        pl.BlockSpec((E(bi + 2), E(bj + 16), E(1)), bmap),
+        pl.BlockSpec((E(bi + 1), E(bj + 8), E(n)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(n)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(n)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(1)), bmap),
     ]
     args = [x, level.kbi, level.kbj, level.kbk, level.kbk_top]
     tile_spec = pl.BlockSpec((bi, bj, n), lambda ti, tj: (ti, tj, 0))
@@ -456,10 +459,10 @@ def kernel_beta_views(beta_i_ext, beta_j_ext, beta_k_ext):
     padded to n+8 so a (bj+8)-row window at offset tj*bj covers the tile's
     tangential ghost rows at a fixed in-window offset):
 
-    kbi (n+1, n+16, n): i-faces; live j-rows (ghost -1 .. n) at pad offset
+    kbi (n+1, n+8, n): i-faces; live j-rows (ghost -1 .. n) at pad offset
         +3 (window rows [3, bj+5)); k-ghosts dropped (rebuilt in-kernel)
-    kbj (n+2, n+16, n): j-faces (0..n) at pad offset +4 (rows [4, bj+5))
-    kbk (n+2, n+16, n) + kbk_top (n+2, n+16, 1): k-faces — the face axis in
+    kbj (n+2, n+8, n): j-faces (0..n) at pad offset +4 (rows [4, bj+5))
+    kbk (n+2, n+8, n) + kbk_top (n+2, n+8, 1): k-faces — the face axis in
         lanes would pad n+1 -> 2x, so store the low faces plus the single
         top plane; the high face of cell k is the low face of cell k+1
         (one in-kernel lane shift)
@@ -467,7 +470,7 @@ def kernel_beta_views(beta_i_ext, beta_j_ext, beta_k_ext):
     n = beta_i_ext.shape[1] - 2  # domain cells per axis
 
     def padj(a, lead):
-        pad_hi = (n + 16) - lead - a.shape[1]
+        pad_hi = (n + 8) - lead - a.shape[1]
         return jnp.pad(a, ((0, 0), (lead, pad_hi), (0, 0)))
 
     kbi = padj(beta_i_ext[:, :, 1:-1], 3)          # j rows: -1 .. n
