@@ -62,6 +62,30 @@ def make_mesh(devices: Optional[List] = None) -> Mesh:
     return Mesh(arr, MESH_AXES)
 
 
+def make_pod_mesh(devices: Optional[List] = None) -> Mesh:
+    """Pod-scale mesh: the slice-to-slice (DCN) dimension becomes the
+    OUTERMOST factor of the 'z' axis, so z-sharded halo exchanges cross
+    DCN only at one plane per slice boundary while x/y halos and all
+    intra-slice traffic ride ICI — the reference's analog is Z-Morton
+    locality keeping surface:volume low across nodes (level.c:240-275).
+
+    Uses ``mesh_utils.create_hybrid_device_mesh`` when the devices span
+    multiple slices; single-slice (or CPU) falls back to ``make_mesh``.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_slices <= 1:
+        return make_mesh(devices)
+    from jax.experimental import mesh_utils
+
+    per_slice = _factor3(len(devices) // n_slices)
+    arr = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=per_slice, dcn_mesh_shape=(1, 1, n_slices),
+        devices=devices)
+    return Mesh(arr, MESH_AXES)
+
+
 def level_sharding(mesh: Mesh, dim: int,
                    face_axis: Optional[int] = None) -> NamedSharding:
     """Sharding for a level of extent ``dim``: sharded over the mesh while

@@ -94,7 +94,9 @@ def bicgstab(op, level: Level, x, rhs, cfg: SolverConfig,
         ap_dot_r0 = blas.dot(ap, r0, rd)
         # pivot breakdown: reference breaks BEFORE updating x (bicgstab.c:52-54)
         alpha = s.r_dot_r0 / ap_dot_r0
-        fail_pivot = (ap_dot_r0 == 0.0) | jnp.isinf(alpha)
+        # ~isfinite, not isinf: in f32 a converged residual gives 0/0=NaN
+        # (the reference runs f64 where BiCGStabFailed only sees inf)
+        fail_pivot = (ap_dot_r0 == 0.0) | ~jnp.isfinite(alpha)
 
         x1 = s.x + alpha * q
         t = s.r - alpha * ap  # intermediate residual "s" in the reference
@@ -109,7 +111,7 @@ def bicgstab(op, level: Level, x, rhs, cfg: SolverConfig,
         conv_half |= at_dot_at == 0.0  # bicgstab.c:74
         omega = at_dot_t / at_dot_at
         # stabilization breakdown: break after x1 but before x2 (bicgstab.c:76-77)
-        fail_omega = (omega == 0.0) | jnp.isinf(omega)
+        fail_omega = (omega == 0.0) | ~jnp.isfinite(omega)
 
         x2 = x1 + omega * th
         r2 = t - omega * at
@@ -118,8 +120,8 @@ def bicgstab(op, level: Level, x, rhs, cfg: SolverConfig,
         conv_full = (norm_r2 == 0.0) | (norm_r2 < target)
         r_dot_r0_new = blas.dot(r2, r0, rd)
         beta = (r_dot_r0_new / s.r_dot_r0) * (alpha / omega)
-        # Lanczos breakdown / inf beta: break after x2 (bicgstab.c:90-92)
-        fail_late = (r_dot_r0_new == 0.0) | jnp.isinf(beta)
+        # Lanczos breakdown / non-finite beta: break after x2 (bicgstab.c:90-92)
+        fail_late = (r_dot_r0_new == 0.0) | ~jnp.isfinite(beta)
         p2 = r2 + beta * (s.p - omega * ap)
 
         # select the solution the reference would exit with on each break path
@@ -173,11 +175,14 @@ def cg(op, level: Level, x, rhs, cfg: SolverConfig,
         ap = op.apply_op(level, s.p, cfg)
         pap = blas.dot(s.p, ap, rd)
         alpha = s.rtz / pap
-        x1 = s.x + alpha * s.p
-        r1 = s.r - alpha * ap
+        # breakdown (0/0 -> NaN alpha in f32 once converged): keep the
+        # pre-update iterate, like the reference's break-before-update
+        ok = (pap != 0.0) & jnp.isfinite(alpha)
+        x1 = jnp.where(ok, s.x + alpha * s.p, s.x)
+        r1 = jnp.where(ok, s.r - alpha * ap, s.r)
         r1 = _subtract_mean(r1, must_subtract_mean, rd)
         nr = blas.norm(r1)
-        done = (pap == 0.0) | jnp.isinf(alpha) | (nr < target) | (nr == 0.0)
+        done = ~ok | (nr < target) | (nr == 0.0)
         z1 = level.dinv * r1
         rtz1 = blas.dot(r1, z1, rd)
         beta = rtz1 / s.rtz
