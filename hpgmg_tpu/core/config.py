@@ -47,6 +47,11 @@ class BottomSolver(enum.Enum):
 
 
 class CycleType(enum.Enum):
+    """--fv-cycle choices (hpgmgconf.py:36-43). The reference's legacy
+    "U" (truncated V-cycle, mg.c:878-893) is expressed here by raising
+    ``min_coarse_dim`` — a V-cycle on a truncated ladder IS the U-cycle,
+    so it needs no third enum value."""
+
     V = "V"
     F = "F"
 

@@ -74,25 +74,64 @@ def halo_exchange(mesh: Mesh, x, radius: int = 1, bc: BC = BC.PERIODIC,
     slice their own shard's view inside shard_map, or use this as a
     building block inside a larger shard_map region).
     """
-    periodic = bc == BC.PERIODIC
-
-    def body(x_local):
-        for ax, name in enumerate(axes):
-            if mesh.shape[name] > 1:
-                x_local = _exchange_axis(x_local, name, ax, radius, periodic)
-            else:
-                # single shard on this axis: wrap or zero-extend locally
-                nloc = x_local.shape[ax]
-                if periodic:
-                    lo = lax.slice_in_dim(x_local, nloc - radius, nloc,
-                                          axis=ax)
-                    hi = lax.slice_in_dim(x_local, 0, radius, axis=ax)
-                else:
-                    shp = list(x_local.shape)
-                    shp[ax] = radius
-                    lo = hi = jnp.zeros(shp, x_local.dtype)
-                x_local = jnp.concatenate([lo, x_local, hi], axis=ax)
-        return x_local
-
     spec = P(*axes)
+    return shard_map(lambda xl: exchange_local(xl, mesh, radius, bc, axes),
+                     mesh=mesh, in_specs=(spec,), out_specs=spec)(x)
+
+
+def exchange_local(x_local, mesh: Mesh, radius: int, bc: BC,
+                   axes: Tuple[str, str, str] = ("x", "y", "z")):
+    """The exchange body, usable INSIDE a larger shard_map region — the
+    building block for composing explicit communication with local
+    compute, mirroring the reference's exchange-then-stencil anatomy."""
+    periodic = bc == BC.PERIODIC
+    for ax, name in enumerate(axes):
+        if mesh.shape[name] > 1:
+            x_local = _exchange_axis(x_local, name, ax, radius, periodic)
+        else:
+            # single shard on this axis: wrap or zero-extend locally
+            nloc = x_local.shape[ax]
+            if periodic:
+                lo = lax.slice_in_dim(x_local, nloc - radius, nloc, axis=ax)
+                hi = lax.slice_in_dim(x_local, 0, radius, axis=ax)
+            else:
+                shp = list(x_local.shape)
+                shp[ax] = radius
+                lo = hi = jnp.zeros(shp, x_local.dtype)
+            x_local = jnp.concatenate([lo, x_local, hi], axis=ax)
+    return x_local
+
+
+def apply_poisson7_explicit(mesh: Mesh, x, h2inv, bc: BC = BC.PERIODIC):
+    """Constant-coefficient 7-point A(u) = -h2inv*(sum(neighbors) - 6u)
+    with EXPLICIT communication: one shard_map region that first runs the
+    ppermute halo exchange and then the purely-local stencil — exactly
+    the anatomy of the reference's exchange_boundary + apply_op pair
+    (exchange_boundary.c:12-117, apply_op.c:9). The solve paths use the
+    implicit GSPMD form; this is the hand-scheduled alternative (and a
+    correctness cross-check for it, tests/test_halo.py)."""
+    spec = P("x", "y", "z")
+
+    def body(xl):
+        g = exchange_local(xl, mesh, 1, bc)
+        c = g[1:-1, 1:-1, 1:-1]
+        neigh = (g[:-2, 1:-1, 1:-1] + g[2:, 1:-1, 1:-1]
+                 + g[1:-1, :-2, 1:-1] + g[1:-1, 2:, 1:-1]
+                 + g[1:-1, 1:-1, :-2] + g[1:-1, 1:-1, 2:])
+        return -h2inv * (neigh - 6.0 * c)
+
     return shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec)(x)
+
+
+def jacobi_sweeps_explicit(mesh: Mesh, x, rhs, h2inv, sweeps: int,
+                           bc: BC = BC.PERIODIC, weight: float = 2.0 / 3.0):
+    """Weighted-Jacobi smoothing built on the explicit-communication apply
+    (jacobi.c:8-65 with exchange_boundary per sweep): demonstrates the
+    explicit halo path composed into an actual smoother iteration."""
+    dinv = 1.0 / (6.0 * h2inv)
+
+    def sweep(_, x):
+        ax = apply_poisson7_explicit(mesh, x, h2inv, bc)
+        return x + weight * dinv * (rhs - ax)
+
+    return lax.fori_loop(0, sweeps, sweep, x)

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from hpgmg_tpu.core.config import BC
 from hpgmg_tpu.ops.bc import ghost_fill_periodic
 from hpgmg_tpu.parallel.halo import halo_exchange
@@ -60,3 +62,61 @@ def test_dirichlet_halo_zero_at_boundary():
     # interior shard boundary ghosts carry neighbor data (ones)
     half = n // 2
     np.testing.assert_allclose(out[half + 2, 5, 5], 1.0)
+
+
+@requires_8dev
+def test_explicit_apply_matches_implicit():
+    """The explicit (shard_map+ppermute) 7pt apply equals the same stencil
+    computed on the global array with implicit GSPMD halos."""
+    from hpgmg_tpu.parallel.halo import apply_poisson7_explicit
+
+    mesh = make_mesh()
+    n = 16
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((n, n, n)))
+    h2inv = float(n * n)
+
+    def ref(xg):
+        g = jnp.pad(xg, 1, mode="wrap")
+        c = g[1:-1, 1:-1, 1:-1]
+        neigh = (g[:-2, 1:-1, 1:-1] + g[2:, 1:-1, 1:-1]
+                 + g[1:-1, :-2, 1:-1] + g[1:-1, 2:, 1:-1]
+                 + g[1:-1, 1:-1, :-2] + g[1:-1, 1:-1, 2:])
+        return -h2inv * (neigh - 6.0 * c)
+
+    want = jax.jit(ref)(x)
+    x_s = jax.device_put(x, NamedSharding(mesh, P("x", "y", "z")))
+    got = jax.jit(lambda x: apply_poisson7_explicit(mesh, x, h2inv,
+                                                    BC.PERIODIC))(x_s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)
+
+
+@requires_8dev
+def test_explicit_jacobi_smoother_converges():
+    """Explicit-communication Jacobi reduces the residual of the periodic
+    constant-coefficient Poisson problem (a smoother built entirely on
+    the hand-scheduled halo path)."""
+    from hpgmg_tpu.parallel.halo import (apply_poisson7_explicit,
+                                         jacobi_sweeps_explicit)
+
+    mesh = make_mesh()
+    n = 16
+    h2inv = float(n * n)
+    k = 2.0 * jnp.pi
+    idx = (jnp.arange(n) + 0.5) / n
+    u_true = (jnp.sin(k * idx)[:, None, None]
+              * jnp.sin(k * idx)[None, :, None]
+              * jnp.sin(k * idx)[None, None, :])
+    sharding = NamedSharding(mesh, P("x", "y", "z"))
+    u_true = jax.device_put(u_true, sharding)
+    rhs = jax.jit(lambda u: apply_poisson7_explicit(mesh, u, h2inv))(u_true)
+    x0 = jax.device_put(jnp.zeros((n, n, n)), sharding)
+
+    def rnorm(x):
+        r = rhs - apply_poisson7_explicit(mesh, x, h2inv)
+        return jnp.sqrt(jnp.sum(r * r))
+
+    x = jax.jit(lambda x, rhs: jacobi_sweeps_explicit(
+        mesh, x, rhs, h2inv, 50))(x0, rhs)
+    assert float(jax.jit(rnorm)(x)) < 0.5 * float(jax.jit(rnorm)(x0))
