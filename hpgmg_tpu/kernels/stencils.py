@@ -54,6 +54,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from hpgmg_tpu.core.config import BC, SolverConfig
 from hpgmg_tpu.core.level import Level
@@ -66,10 +67,14 @@ _MIN_DIM = 32
 # costs ~30 us while the whole 32^3 XLA half-sweep is ~8 us (measured
 # v5e). "auto" applies this floor; kernels="pallas" forces the kernel.
 _AUTO_MIN_DIM = 64
-# Budget for the _vmem_bytes estimate. Empirical (v5e): Mosaic's stack
-# temporaries for the ~21 shifted stencil reads are large, so stay well
-# under the architectural 16MB.
-_VMEM_BUDGET = 11 * 2 ** 20
+# Budget for the _vmem_bytes estimate. Mosaic's DEFAULT vmem limit is
+# well below the hardware's; the pallas_call raises it via
+# CompilerParams(vmem_limit_bytes) and measured v5e sweeps pick their
+# fastest tilings under a 20MB estimate: (32,32) at 128^3 (245 us
+# half-sweep), (16,32) at 256^3 (1895 us) — bigger estimates compile but
+# run slower (less double-buffering headroom).
+_VMEM_BUDGET = 20 * 2 ** 20
+_VMEM_LIMIT = 64 * 2 ** 20
 
 
 def _vmem_bytes(n: int, bi: int, bj: int) -> int:
@@ -431,6 +436,8 @@ def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
         in_specs=in_specs,
         out_specs=tile_spec,
         out_shape=jax.ShapeDtypeStruct(level.shape, x.dtype),
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=INTERPRET,
     )(*args)
 
