@@ -95,16 +95,19 @@ class _CGState(NamedTuple):
     done: jax.Array
 
 
-def cg(op: FEOp, L: FELevel, b, x, max_iters: int = 20, rtol: float = 1e-10):
+def _cg_loop(op: FEOp, L: FELevel, b, x, max_iters: int,
+             rtol: float) -> _CGState:
     """Jacobi-preconditioned CG with nonzero initial guess (coarsest-level
     KSP, fmg.c:112-118). Convergence uses the natural norm sqrt(r'z)
-    relative to the INITIAL natural norm (PETSc KSPConvergedDefault with
-    KSP_NORM_NATURAL) — comparing against the plain ||b||_2 mismatches
-    the preconditioner scaling and can spin to the iteration cap."""
+    relative to the natural norm of the RHS, sqrt(b'Bb) — PETSc
+    KSPConvergedDefault compares against the norm of b (UIRNorm unset),
+    so a warm-started solve whose incoming residual is already small
+    terminates immediately instead of grinding out a full rtol reduction
+    of an ever-shrinking initial residual."""
     r = b - _apply(op, L, x)
     z = L.dinv * r
     rtz = jnp.sum(r * z)
-    target = rtol * jnp.sqrt(jnp.abs(rtz))
+    target = rtol * jnp.sqrt(jnp.abs(jnp.sum(b * (L.dinv * b))))
 
     def cond(s: _CGState):
         return (s.j < max_iters) & ~s.done
@@ -123,9 +126,20 @@ def cg(op: FEOp, L: FELevel, b, x, max_iters: int = 20, rtol: float = 1e-10):
                         done=done)
 
     st = _CGState(x=x, r=r, p=z, rtz=rtz, j=jnp.array(0, jnp.int32),
-                  done=(rtz == 0.0))
-    st = lax.while_loop(cond, body, st)
-    return st.x
+                  done=(rtz == 0.0) | (jnp.sqrt(jnp.abs(rtz)) < target))
+    return lax.while_loop(cond, body, st)
+
+
+def cg(op: FEOp, L: FELevel, b, x, max_iters: int = 20, rtol: float = 1e-10):
+    return _cg_loop(op, L, b, x, max_iters, rtol).x
+
+
+def cg_info(op: FEOp, L: FELevel, b, x, max_iters: int = 20,
+            rtol: float = 1e-10):
+    """(x, iterations, converged) — for callers that report PETSc-style
+    convergence reasons (run_ksp)."""
+    st = _cg_loop(op, L, b, x, max_iters, rtol)
+    return st.x, st.j, st.done
 
 
 def fas_vcycle(op: FEOp, levels: List[FELevel], lev: int, b, u,
@@ -247,6 +261,7 @@ def run_fmg(grid: FEGrid, op: FEOp, solution: str = "sine",
 class _ChebKSPState(NamedTuple):
     x: jax.Array
     x_prev: jax.Array
+    r: jax.Array
     rho: jax.Array
     rnorm: jax.Array
     j: jax.Array
@@ -276,20 +291,23 @@ def ksp_chebyshev(op: FEOp, L: FELevel, b, rtol: float = 1e-5,
         return (s.j < max_iters) & (s.rnorm > rtol * norm_b)
 
     def body(s: _ChebKSPState):
-        r = b - _apply(op, L, s.x)
         # continuing 3-term recurrence (chebyshev.c:90-94 / KSPChebyshev):
-        # first step has rho=0 so the history term vanishes
+        # first step has rho=0 so the history term vanishes. The residual
+        # rides in the carry, so each iteration costs ONE operator apply —
+        # r_next computed here is exactly the r the next step would have
+        # recomputed at the top.
         rho_next = 1.0 / (2.0 * sigma - s.rho)
         c1 = jnp.where(s.j == 0, 0.0, rho_next * s.rho)
         c2 = jnp.where(s.j == 0, 1.0 / theta, rho_next * 2.0 / delta)
-        x_next = s.x + c1 * (s.x - s.x_prev) + c2 * L.dinv * r
+        x_next = s.x + c1 * (s.x - s.x_prev) + c2 * L.dinv * s.r
         r_next = b - _apply(op, L, x_next)
-        return _ChebKSPState(x=x_next, x_prev=s.x, rho=rho_next,
+        return _ChebKSPState(x=x_next, x_prev=s.x, r=r_next, rho=rho_next,
                              rnorm=prec_norm(r_next), j=s.j + 1)
 
     # rho carries rho_{j-1}; seeding with sigma makes the first computed
-    # rho equal rho_0 = 1/sigma (the c1/c2 ladder of chebyshev())
-    st = _ChebKSPState(x=x0, x_prev=x0,
+    # rho equal rho_0 = 1/sigma (the c1/c2 ladder of chebyshev());
+    # r0 = b because x0 = 0
+    st = _ChebKSPState(x=x0, x_prev=x0, r=b,
                        rho=jnp.asarray(sigma, b.dtype),
                        rnorm=prec_norm(b), j=jnp.array(0, jnp.int32))
     st = lax.while_loop(cond, body, st)
@@ -307,19 +325,25 @@ def run_ksp(grid: FEGrid, op: FEOp, solution: str = "sine",
     L = levels[0]
     f = jax.jit(lambda L: op.forcing(L.grid, L.coords, solution))(L)
     u0 = jax.jit(lambda L: op.solution_nodes(L.grid, L.coords, solution))(L)
+    max_iters = 10000
     if ksp_type == "chebyshev":
         v, its = jax.jit(lambda L, f: ksp_chebyshev(
-            op, L, f, rtol=rtol, eig=eig))(L, f)
+            op, L, f, rtol=rtol, max_iters=max_iters, eig=eig))(L, f)
+        converged = int(its) < max_iters
     elif ksp_type == "cg":
-        v = jax.jit(lambda L, f: cg(op, L, f, jnp.zeros_like(f),
-                                    max_iters=10000, rtol=rtol))(L, f)
-        its = jnp.array(-1)
+        v, its, conv = jax.jit(lambda L, f: cg_info(
+            op, L, f, jnp.zeros_like(f), max_iters=max_iters,
+            rtol=rtol))(L, f)
+        converged = bool(conv)
     else:
         raise ValueError(f"unknown ksp_type {ksp_type!r}")
     err = float(jnp.sqrt(jnp.sum((v - u0) ** 2))
                 / jnp.sqrt(jnp.sum(u0 * u0)))
     if monitor:
-        print(f"Linear solve converged due to CONVERGED_RTOL iterations "
-              f"{int(its)}")
+        # PETSc KSPConvergedReasonView strings: CONVERGED_RTOL when the
+        # tolerance was met before the cap, DIVERGED_ITS otherwise
+        reason = ("converged due to CONVERGED_RTOL" if converged
+                  else "did not converge due to DIVERGED_ITS")
+        print(f"Linear solve {reason} iterations {int(its)}")
         print(f"|v-u|_2/|u|_2 = {err:g}")
     return v, int(its), err
