@@ -50,8 +50,14 @@ def _build(n: int, cfg: SolverConfig, mesh=None):
                            alpha=prob.alpha)
     f = prob.f
     if mesh is not None:
-        hier = shard_hierarchy(mesh, hier)
+        hier = shard_hierarchy(mesh, hier, cfg)
         f = shard_array(mesh, f)
+    else:
+        # drop solve-dead fields (XLA beta views, l1inv, dinv on Pallas
+        # GSRB levels) — at 512^3 this reclaims ~2.6 GB of HBM
+        from hpgmg_tpu.core.hierarchy import slim_hierarchy
+
+        hier = slim_hierarchy(hier, cfg)
     return hier, f
 
 

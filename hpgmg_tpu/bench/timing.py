@@ -55,7 +55,7 @@ def measure_breakdown(hier: Hierarchy, cfg: SolverConfig,
     op = get_suite(cfg.op)
     rows = []
     for idx, lv in enumerate(hier.levels):
-        dtype = lv.beta_i.dtype
+        dtype = lv.dtype
         x = jnp.zeros(lv.shape, dtype)
         r = jnp.ones(lv.shape, dtype)
         row = {"level": idx, "dim": lv.dim}
@@ -99,7 +99,7 @@ def fmg_timing_table(hier: Hierarchy, cfg: SolverConfig, f=None):
 
     op = get_suite(cfg.op)
     if f is None:
-        f = jnp.ones(hier.levels[0].shape, hier.levels[0].beta_i.dtype)
+        f = jnp.ones(hier.levels[0].shape, hier.levels[0].dtype)
     fmg_solve(op, hier, f, cfg, timers={})  # warm the per-phase jit cache
     timers: Dict = {}
     fmg_solve(op, hier, f, cfg, timers=timers)

@@ -110,3 +110,36 @@ def build_hierarchy(beta_i, beta_j, beta_k, cfg: SolverConfig,
         ainv = jnp.linalg.pinv(a_mat) if singular else jnp.linalg.inv(a_mat)
         levels[-1] = dataclasses.replace(bot, bottom_ainv=ainv)
     return Hierarchy(levels=levels)
+
+
+def slim_hierarchy(hier: Hierarchy, cfg: SolverConfig) -> Hierarchy:
+    """Drop per-level fields that the configured solve will never read —
+    the HBM audit for large single-chip grids (at 512^3 every retained
+    n^3 f32 field costs 512 MB).
+
+    * ``l1inv`` is only read by the L1-Jacobi smoother (smoothers.py).
+    * On levels served by the Pallas fv4 kernels (``use_pallas``), the
+      XLA-path ghost-extended ``beta_*`` views are dead (the kernels read
+      the lane-aligned ``kbi/kbj/kbk`` views), and with the GSRB smoother
+      the plain ``dinv`` is dead too (GSRB reads the parity-prefolded
+      ``kdinv``; apply/residual read no diagonal).
+
+    The bottom level always keeps ``dinv`` (the Krylov bottom solvers
+    precondition with it). Call AFTER build and BEFORE solving; do not
+    pass a slimmed hierarchy to ``shard_hierarchy`` (the per-shard kernel
+    views are rebuilt from the beta views).
+    """
+    from hpgmg_tpu.core.config import Smoother
+    from hpgmg_tpu.kernels.stencils import use_pallas
+
+    new_levels = []
+    for i, lv in enumerate(hier.levels):
+        kw = {}
+        if cfg.smoother != Smoother.L1JACOBI:
+            kw["l1inv"] = None
+        if use_pallas(cfg, lv) and i < len(hier.levels) - 1:
+            kw.update(beta_i=None, beta_j=None, beta_k=None)
+            if cfg.smoother == Smoother.GSRB:
+                kw["dinv"] = None
+        new_levels.append(dataclasses.replace(lv, **kw))
+    return Hierarchy(levels=new_levels)

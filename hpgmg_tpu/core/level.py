@@ -64,10 +64,24 @@ class Level:
     # non-updated cells) — the GSRB_FP mask plane (level.c:1213-1241)
     # moved to build time
     kdinv: Optional[tuple] = None
+    # static: the kernel views above are PER-SHARD stacked views built by
+    # shard_hierarchy for the distributed fast path
+    # (parallel/shard_kernels.py) rather than single-chip global views
+    ksharded: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def shape(self):
         return (self.dim, self.dim, self.dim)
+
+    @property
+    def dtype(self):
+        """Solve dtype, robust to slimmed levels (slim_hierarchy may drop
+        beta_*/dinv on levels served entirely by the Pallas kernels)."""
+        for f in (self.beta_i, self.dinv, self.kbi):
+            if f is not None:
+                return f.dtype
+        return self.kdinv[0].dtype
 
     @property
     def h2inv(self) -> float:

@@ -123,6 +123,10 @@ def use_pallas(cfg: SolverConfig, level: Level, x=None) -> bool:
         return False
     if getattr(level, "kbi", None) is None:
         return False
+    if getattr(level, "ksharded", False):
+        # per-shard stacked views: only the distributed path
+        # (parallel/shard_kernels.py) can read them
+        return False
     if level.dim < _MIN_DIM or tile_shape(level.dim) is None:
         return False
     if (getattr(cfg, "kernels", "auto") != "pallas"
@@ -331,11 +335,17 @@ def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
 # kernel body
 # ---------------------------------------------------------------------------
 
-def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv):
+def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False):
     """Shared fv4 stencil body on a (bi, bj, n) tile.
 
     mode: 'apply' -> Ax; 'residual' -> rhs - Ax;
           'gsrb' -> x + kdinv[parity] * (rhs - Ax)
+
+    ext: the solution window is PRE-extended (the sharded path: radius-2
+    i/j ghosts — neighbor halos or BC fills — arrive in the array itself,
+    stored j-padded with the live extended rows at fixed offset 6), so no
+    in-kernel boundary synthesis or first/last-tile masks are needed; only
+    the k (lane) ghosts are still synthesized (the k axis is unsharded).
     """
     xw_ref, bi_ref, bj_ref, bk_ref, bktop_ref = refs[:5]
     k = 5
@@ -351,10 +361,16 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
 
-    # separable boundary extension, same axis order as ghost_fill_fv:
-    # i (from interior), then j (reads i-ghosts), then k (reads both)
-    xi = _ext_tile_axis(xw_ref[...], bi, ti, nti, 0, 2)  # (bi+4, bj+16, n)
-    xj = _ext_tile_axis(xi, bj, tj, ntj, 1, 8)           # (bi+4, bj+4, n)
+    if ext:
+        # window rows [ti*bi, ti*bi+bi+4) x [tj*bj, tj*bj+bj+16) of the
+        # (ni+4, nj+16, n) pre-extended array; the tile's extended j rows
+        # sit at in-window offset [6, bj+10) by the storage layout
+        xj = xw_ref[0:bi + 4, 6:bj + 10, :]              # (bi+4, bj+4, n)
+    else:
+        # separable boundary extension, same axis order as ghost_fill_fv:
+        # i (from interior), then j (reads i-ghosts), then k (reads both)
+        xi = _ext_tile_axis(xw_ref[...], bi, ti, nti, 0, 2)
+        xj = _ext_tile_axis(xi, bj, tj, ntj, 1, 8)       # (bi+4, bj+4, n)
     k1lo, k2lo = _v4_ghost_pair(xj, 2, lo=True)
     k1hi, k2hi = _v4_ghost_pair(xj, 2, lo=False)
     xglo = jnp.concatenate([k2lo, k1lo], axis=-1)
@@ -439,6 +455,79 @@ def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
         in_specs=in_specs,
         out_specs=tile_spec,
         out_shape=jax.ShapeDtypeStruct(level.shape, x.dtype),
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=INTERPRET,
+    )(*args)
+
+
+def tile_shape_local(ni: int, nj: int, nk: int):
+    """(bi, bj) for a PER-SHARD (ni, nj, nk) block in ext mode. Looser than
+    ``tile_shape``: no >= 2-tile minimum (the first/last-tile masks are
+    gone — ghosts are pre-filled), only divisibility + the sublane
+    multiple-of-8 rule + the VMEM budget."""
+    best = None
+    for bj in (64, 48, 32, 24, 16, 8):
+        if bj > nj or nj % bj:
+            continue
+        for bi in (64, 32, 16, 8, 4):
+            if bi > ni or ni % bi:
+                continue
+            if _vmem_bytes(nk, bi, bj) > _VMEM_BUDGET:
+                continue
+            key = (bi * bj, bj)
+            if best is None or key > best[0]:
+                best = (key, (bi, bj))
+    return best[1] if best else None
+
+
+def fv4_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
+                 b_h2inv: float):
+    """Pallas call on ONE shard's pre-extended block (the shard_map body of
+    the distributed fast path, parallel/shard_kernels.py).
+
+    x_ext: (ni+4, nj+16, nk) — i-extended by 2, j-extended rows stored at
+    [6, nj+10) of the padded j axis (ghosts = neighbor halos or BC fills);
+    kbi (ni+1, nj+8, nk) / kbj (ni+2, nj+8, nk) / kbk + kbk_top: per-shard
+    kernel-layout coefficient views (same layout as kernel_beta_views);
+    rhs/dinv: (ni, nj, nk) or None per mode.
+    """
+    ni, nj, nk = x_ext.shape[0] - 4, x_ext.shape[1] - 16, x_ext.shape[2]
+    ts = tile_shape_local(ni, nj, nk)
+    assert ts is not None, (ni, nj, nk)
+    bi, bj = ts
+    nti, ntj = ni // bi, nj // bj
+    kernel = functools.partial(
+        _fv4_kernel, n=nk, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
+        b_h2inv=b_h2inv, ext=True)
+
+    E = pl.Element
+
+    def xmap(ti, tj):
+        return (ti * bi, tj * bj, 0)
+
+    in_specs = [
+        pl.BlockSpec((E(bi + 4), E(bj + 16), E(nk)), xmap),
+        pl.BlockSpec((E(bi + 1), E(bj + 8), E(nk)), xmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(nk)), xmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(nk)), xmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(1)), xmap),
+    ]
+    args = [x_ext, kbi, kbj, kbk, kbk_top]
+    tile_spec = pl.BlockSpec((bi, bj, nk), lambda ti, tj: (ti, tj, 0))
+    if mode != "apply":
+        in_specs.append(tile_spec)
+        args.append(rhs)
+    if mode == "gsrb":
+        in_specs.append(tile_spec)
+        args.append(dinv)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nti, ntj),
+        in_specs=in_specs,
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((ni, nj, nk), x_ext.dtype),
         compiler_params=None if INTERPRET else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=INTERPRET,

@@ -105,7 +105,13 @@ class FV4(base.OperatorSuite):
 
     def apply_op(self, level: Level, x: jax.Array, cfg: SolverConfig) -> jax.Array:
         from hpgmg_tpu.kernels.stencils import fv4_apply_pallas, use_pallas
+        from hpgmg_tpu.parallel.mesh import get_active_mesh
+        from hpgmg_tpu.parallel.shard_kernels import (fv4_sharded,
+                                                      use_pallas_sharded)
 
+        if use_pallas_sharded(cfg, level):
+            return fv4_sharded(get_active_mesh(), level, x, None, cfg,
+                               "apply")
         if use_pallas(cfg, level, x):
             return fv4_apply_pallas(level, x, cfg)
 
@@ -139,10 +145,20 @@ class FV4(base.OperatorSuite):
     def gsrb_sweep(self, level: Level, x, rhs, cfg: SolverConfig,
                    nsweeps: int):
         """Fused GSRB half-sweeps via the Pallas kernel (unrolled so the
-        red/black parity is static per kernel — two compiled variants)."""
+        red/black parity is static per kernel — two compiled variants).
+        On mesh-sharded levels each half-sweep is an exchange-then-kernel
+        shard_map region (gsrb.c:24-41's per-sweep exchange_boundary)."""
         from hpgmg_tpu.kernels.stencils import (fv4_gsrb_sweep_pallas,
                                                 use_pallas)
+        from hpgmg_tpu.parallel.mesh import get_active_mesh
+        from hpgmg_tpu.parallel.shard_kernels import (fv4_sharded,
+                                                      use_pallas_sharded)
 
+        if use_pallas_sharded(cfg, level):
+            mesh = get_active_mesh()
+            for s in range(nsweeps):
+                x = fv4_sharded(mesh, level, x, rhs, cfg, "gsrb", s & 1)
+            return x
         if not use_pallas(cfg, level, x):
             return NotImplemented
         for s in range(nsweeps):
@@ -152,7 +168,13 @@ class FV4(base.OperatorSuite):
     def residual(self, level: Level, x, rhs, cfg: SolverConfig):
         from hpgmg_tpu.kernels.stencils import (fv4_residual_pallas,
                                                 use_pallas)
+        from hpgmg_tpu.parallel.mesh import get_active_mesh
+        from hpgmg_tpu.parallel.shard_kernels import (fv4_sharded,
+                                                      use_pallas_sharded)
 
+        if use_pallas_sharded(cfg, level):
+            return fv4_sharded(get_active_mesh(), level, x, rhs, cfg,
+                               "residual")
         if use_pallas(cfg, level, x):
             return fv4_residual_pallas(level, x, rhs, cfg)
         return rhs - self.apply_op(level, x, cfg)

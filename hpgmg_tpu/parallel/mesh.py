@@ -62,6 +62,25 @@ def make_mesh(devices: Optional[List] = None) -> Mesh:
     return Mesh(arr, MESH_AXES)
 
 
+def make_mesh_ij(devices: Optional[List] = None) -> Mesh:
+    """Mesh for the distributed Pallas kernel path: devices factored over
+    the i/j ('x'/'y') axes only, z kept at 1 — the k axis is the TPU lane
+    dimension and stays whole per chip (parallel/shard_kernels.py)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    best = (n, 1)
+    for fx in range(1, n + 1):
+        if n % fx:
+            continue
+        fy = n // fx
+        if max(fx, fy) - min(fx, fy) <= max(best) - min(best):
+            best = (fx, fy)
+    shape = tuple(sorted(best, reverse=True)) + (1,)
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, MESH_AXES)
+
+
 def make_pod_mesh(devices: Optional[List] = None) -> Mesh:
     """Pod-scale mesh: the slice-to-slice (DCN) dimension becomes the
     OUTERMOST factor of the 'z' axis, so z-sharded halo exchanges cross
@@ -116,31 +135,83 @@ def shard_array(mesh: Mesh, x, face_axis: Optional[int] = None):
     return jax.device_put(x, level_sharding(mesh, dim, face_axis))
 
 
-def shard_hierarchy(mesh: Mesh, hier):
+def array_sharding(mesh: Mesh, shape, dim: int) -> NamedSharding:
+    """Sharding for a coefficient array whose extents may exceed ``dim``
+    (ghost-extended betas: n+1 / n+2 per axis): shard an axis only where
+    the LEVEL is sharded (dim divisible, >= AGGLOMERATION_START per chip)
+    AND the actual extent divides evenly; ghost-extended axes that don't
+    divide stay replicated (small waste, correct always)."""
+    spec = []
+    for ax, name in enumerate(MESH_AXES):
+        size = mesh.shape[name]
+        if (size > 1 and shape[ax] % size == 0 and dim % size == 0
+                and dim // size >= AGGLOMERATION_START):
+            spec.append(name)
+        else:
+            spec.append(None)
+    if all(s is None for s in spec):
+        return NamedSharding(mesh, P())
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_hierarchy(mesh: Mesh, hier, cfg=None):
     """Place every level of a hierarchy: fine levels sharded, coarse levels
-    replicated (decided per level by ``level_sharding``)."""
+    replicated (decided per level by ``level_sharding``).
+
+    With ``cfg`` given, levels that can run the distributed Pallas fast
+    path (mesh sharded over i/j only, local dims workable —
+    ``sharded_kernel_eligible``) get PER-SHARD kernel coefficient views
+    cut from the global betas (parallel/shard_kernels.py), so the fast
+    kernels and the mesh compose; other sharded levels drop the
+    single-chip views (the kernels can't read a sharded global view) and
+    run the XLA path. Replicated (coarse) levels keep their single-chip
+    views — every chip redundantly runs the whole kernel there.
+    """
     import dataclasses
 
     from hpgmg_tpu.core.hierarchy import Hierarchy
+    from hpgmg_tpu.parallel.shard_kernels import (build_sharded_views,
+                                                  sharded_kernel_eligible)
 
     new_levels = []
     for lv in hier.levels:
+        spec = level_sharding(mesh, lv.dim)
+        replicated = spec.spec == P()
         kw = {}
-        for name, face_axis in (("beta_i", 0), ("beta_j", 1), ("beta_k", 2),
-                                ("alpha", None), ("dinv", None),
-                                ("l1inv", None)):
+        kviews = None
+        if (cfg is not None and lv.kbi is not None and not replicated
+                and sharded_kernel_eligible(mesh, lv.dim, cfg)):
+            kbi, kbj, kbk, kbk_top, kdinv = build_sharded_views(mesh, lv)
+            kviews = dict(kbi=kbi, kbj=kbj, kbk=kbk, kbk_top=kbk_top,
+                          kdinv=kdinv, ksharded=True)
+        for name in ("beta_i", "beta_j", "beta_k", "alpha", "dinv",
+                     "l1inv"):
             arr = getattr(lv, name)
             if arr is not None:
                 kw[name] = jax.device_put(
-                    arr, level_sharding(mesh, lv.dim, face_axis))
+                    arr, array_sharding(mesh, arr.shape, lv.dim))
         for name in ("lambda_max", "bottom_ainv"):
             arr = getattr(lv, name)
             if arr is not None:
                 kw[name] = jax.device_put(arr, NamedSharding(mesh, P()))
-        # drop the single-chip Pallas coefficient views: the kernels are not
-        # used on sharded levels and the views would otherwise ride along as
-        # replicated dead weight
-        kw.update(kbi=None, kbj=None, kbk=None, kbk_top=None, kdinv=None)
+        if kviews is not None:
+            kw.update(kviews)
+        elif replicated and lv.kbi is not None:
+            # coarse replicated level: keep the single-chip views, placed
+            # replicated so each chip runs the kernel redundantly (the
+            # agglomeration analog)
+            rep = NamedSharding(mesh, P())
+            kw.update(kbi=jax.device_put(lv.kbi, rep),
+                      kbj=jax.device_put(lv.kbj, rep),
+                      kbk=jax.device_put(lv.kbk, rep),
+                      kbk_top=jax.device_put(lv.kbk_top, rep),
+                      kdinv=tuple(jax.device_put(d, rep)
+                                  for d in lv.kdinv))
+        else:
+            # sharded level the kernels cannot serve: the single-chip views
+            # would ride along as dead weight — drop them (XLA path)
+            kw.update(kbi=None, kbj=None, kbk=None, kbk_top=None,
+                      kdinv=None)
         new_levels.append(dataclasses.replace(lv, **kw))
     return Hierarchy(levels=new_levels)
 
@@ -164,6 +235,10 @@ def set_active_mesh(mesh: Optional[Mesh]):
     """Set (or clear, with None) the mesh used for level placement."""
     global _ACTIVE_MESH
     _ACTIVE_MESH = mesh
+
+
+def get_active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
 
 
 class active_mesh:

@@ -1,0 +1,215 @@
+"""Distributed fast path: Pallas fv4 kernels composed with an explicit
+radius-2 halo exchange under ``shard_map``.
+
+This is the TPU-native analog of the reference's core composition — the
+precompiled ghost exchange replayed before every stencil sweep
+(exchange_boundary.c:12-117) under the GSRB smoother (gsrb.c:24-41) with
+2-deep shape-aware ghosts for the radius-2 fv4 operator (level.c:498-531,
+operators.fv4.c:137-139). Design:
+
+* The device mesh shards the i ('x') and j ('y') array axes; the k axis
+  (TPU lanes) stays whole on every chip — lanes are the vector dimension
+  and splitting them would fragment the (8, 128) native tile. ``z``-size-1
+  meshes only (``make_mesh_ij``); 3D-sharded meshes fall back to the XLA
+  path.
+* One ``shard_map`` region per kernel launch: ppermute radius-2 halo
+  slabs along x then y (so edge ghosts arrive transitively — the
+  NO_CORNERS shape), overwrite physical-boundary slabs with the quartic
+  volume-averaged Dirichlet fill (the separable apply_BCs_v4 order:
+  i from interior, then j reading the i-ghosts), then run the Pallas
+  kernel in pre-extended (``ext``) mode on the local block.
+* Per-shard coefficient views (``kbi/kbj/kbk/kbk_top``) are cut once at
+  ``shard_hierarchy`` time from the globally ghost-extended beta arrays —
+  interior-shard tangential ghosts are true neighbor faces, physical ones
+  the quintic extrapolation, both already present in the extended global —
+  and stored stacked: global shape (sx*(nli+1), sy*(nlj+8), n) sharded
+  P('x','y'), so the sweep's shard_map hands each shard exactly its local
+  view with zero communication.
+* GSRB parity masks stay GLOBAL (rb_mask on global indices): local dims
+  are even, so every shard's local mask equals the global one restricted
+  to its block; ``kdinv`` is simply sharded like any cell field.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hpgmg_tpu.core.config import BC, SolverConfig
+from hpgmg_tpu.core.level import Level
+
+_SPEC = P("x", "y", None)
+
+
+# ---------------------------------------------------------------------------
+# eligibility
+# ---------------------------------------------------------------------------
+
+def sharded_kernel_eligible(mesh: Mesh, dim: int, cfg: SolverConfig) -> bool:
+    """Static check: can level ``dim`` run the Pallas kernels under this
+    mesh? Mirrors ``use_pallas`` plus the distribution constraints."""
+    from hpgmg_tpu.kernels.stencils import (_AUTO_MIN_DIM, _MIN_DIM,
+                                            tile_shape_local)
+
+    if getattr(cfg, "kernels", "auto") == "xla":
+        return False
+    if cfg.helmholtz or cfg.bc != BC.DIRICHLET:
+        return False
+    if mesh.shape["z"] != 1:
+        return False
+    sx, sy = mesh.shape["x"], mesh.shape["y"]
+    if sx * sy == 1:
+        return False  # single device: the single-chip path serves
+    if dim % sx or dim % sy:
+        return False
+    nli, nlj = dim // sx, dim // sy
+    if nli < 8 or nlj < 8 or nli % 2 or nlj % 2:
+        return False
+    floor = _MIN_DIM if cfg.kernels == "pallas" else _AUTO_MIN_DIM
+    if dim < floor:
+        return False
+    return tile_shape_local(nli, nlj, dim) is not None
+
+
+def use_pallas_sharded(cfg: SolverConfig, level: Level) -> bool:
+    """Trace-time gate for the distributed kernel path: the level carries
+    per-shard views (built by shard_hierarchy) and a mesh is active."""
+    from hpgmg_tpu.kernels import stencils
+    from hpgmg_tpu.parallel.mesh import get_active_mesh
+
+    if not getattr(level, "ksharded", False) or level.kbi is None:
+        return False
+    if get_active_mesh() is None:
+        return False
+    if stencils.INTERPRET:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# halo exchange + BC fill (the exchange_boundary + apply_BCs_v4 pair)
+# ---------------------------------------------------------------------------
+
+def _bc_slab(xl, axis: int, lo: bool):
+    """2-deep quartic Dirichlet ghost slab ordered [far, near] on the low
+    side / [near, far] on the high side (apply_BCs_v4, boundary_fv.c:334)."""
+    from hpgmg_tpu.kernels.stencils import _v4_ghost_pair
+
+    g1, g2 = _v4_ghost_pair(xl, axis, lo=lo)
+    return jnp.concatenate([g2, g1] if lo else [g1, g2], axis=axis)
+
+
+def _extend_axis_sharded(xl, name: str, axis: int, mesh: Mesh):
+    """Extend one sharded axis by 2 ghosts: neighbor halos via ppermute,
+    physical boundaries via the v4 fill. Applied i-then-j so edge ghosts
+    arrive transitively (the NO_CORNERS schedule, level.c:499-531)."""
+    n_sh = mesh.shape[name]
+    bc_lo = _bc_slab(xl, axis, lo=True)
+    bc_hi = _bc_slab(xl, axis, lo=False)
+    if n_sh == 1:
+        glo, ghi = bc_lo, bc_hi
+    else:
+        nl = xl.shape[axis]
+        lo_face = lax.slice_in_dim(xl, 0, 2, axis=axis)
+        hi_face = lax.slice_in_dim(xl, nl - 2, nl, axis=axis)
+        fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+        bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+        glo = lax.ppermute(hi_face, name, fwd)  # from my -1 neighbor
+        ghi = lax.ppermute(lo_face, name, bwd)  # from my +1 neighbor
+        idx = lax.axis_index(name)
+        glo = jnp.where(idx == 0, bc_lo, glo)
+        ghi = jnp.where(idx == n_sh - 1, bc_hi, ghi)
+    return jnp.concatenate([glo, xl, ghi], axis=axis)
+
+
+def extend_for_kernel(xl, mesh: Mesh):
+    """(nli, nlj, nk) local block -> (nli+4, nlj+16, nk) pre-extended array
+    in the kernel's j-padded layout (live extended j rows at [6, nlj+10))."""
+    xe = _extend_axis_sharded(xl, "x", 0, mesh)
+    xe = _extend_axis_sharded(xe, "y", 1, mesh)
+    return jnp.pad(xe, ((0, 0), (6, 6), (0, 0)))
+
+
+# ---------------------------------------------------------------------------
+# the sharded kernel launch
+# ---------------------------------------------------------------------------
+
+def fv4_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
+                mode: str, parity: int = 0):
+    """One distributed fv4 kernel application (apply / residual / one GSRB
+    half-sweep): exchange-then-stencil in a single shard_map region."""
+    b_h2inv = cfg.b * level.h2inv
+    args = [x, level.kbi, level.kbj, level.kbk, level.kbk_top]
+    if mode != "apply":
+        args.append(rhs)
+    if mode == "gsrb":
+        args.append(level.kdinv[parity & 1])
+    in_specs = tuple(_SPEC for _ in args)
+
+    def body(xl, kbi, kbj, kbk, kbktop, *rest):
+        from hpgmg_tpu.kernels.stencils import fv4_call_ext
+
+        rhsl = rest[0] if mode != "apply" else None
+        dl = rest[1] if mode == "gsrb" else None
+        xe = extend_for_kernel(xl, mesh)
+        return fv4_call_ext(xe, kbi, kbj, kbk, kbktop, rhsl, dl, mode,
+                            b_h2inv)
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, which the checker (jax >= 0.7) would reject
+    return shard_map(body, mesh=mesh, in_specs=in_specs,
+                     out_specs=_SPEC, check_vma=False)(*args)
+
+
+# ---------------------------------------------------------------------------
+# per-shard coefficient views (cut at shard_hierarchy time)
+# ---------------------------------------------------------------------------
+
+def build_sharded_views(mesh: Mesh, level: Level):
+    """Cut per-shard kernel-layout coefficient views from the level's
+    globally ghost-extended betas and stack them into P('x','y')-sharded
+    arrays (see module docstring). Also returns the parity-prefolded kdinv
+    pair sharded over the same spec. Requires the level to still carry its
+    extended ``beta_*`` views and ``dinv``."""
+    from hpgmg_tpu.core.level import rb_mask
+
+    sx, sy = mesh.shape["x"], mesh.shape["y"]
+    n = level.dim
+    nli, nlj = n // sx, n // sy
+    bie, bje, bke = level.beta_i, level.beta_j, level.beta_k
+
+    def stack(blocks):
+        return jnp.concatenate(
+            [jnp.concatenate(row, axis=1) for row in blocks], axis=0)
+
+    def padj(a, lead):
+        pad_hi = (nlj + 8) - lead - a.shape[1]
+        return jnp.pad(a, ((0, 0), (lead, pad_hi), (0, 0)))
+
+    kbi = stack([[padj(bie[p * nli:(p + 1) * nli + 1,
+                           q * nlj:q * nlj + nlj + 2, 1:-1], 3)
+                  for q in range(sy)] for p in range(sx)])
+    kbj = stack([[padj(bje[p * nli:p * nli + nli + 2,
+                           q * nlj:(q + 1) * nlj + 1, 1:-1], 4)
+                  for q in range(sy)] for p in range(sx)])
+    kbk_full = [[bke[p * nli:p * nli + nli + 2,
+                     q * nlj:q * nlj + nlj + 2, :]
+                 for q in range(sy)] for p in range(sx)]
+    kbk = stack([[padj(b[:, :, :-1], 3) for b in row] for row in kbk_full])
+    kbk_top = stack([[padj(b[:, :, -1:], 3) for b in row]
+                     for row in kbk_full])
+
+    sh = NamedSharding(mesh, _SPEC)
+    kdinv = tuple(
+        jax.device_put(rb_mask(n, p, level.dinv.dtype) * level.dinv, sh)
+        for p in (0, 1))
+    put = lambda a: jax.device_put(a, sh)  # noqa: E731
+    return put(kbi), put(kbj), put(kbk), put(kbk_top), kdinv

@@ -144,7 +144,7 @@ def mg_solve(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
     residual norms.
     """
     levels = hier.levels
-    u = jnp.zeros(levels[0].shape, levels[0].beta_i.dtype) if u0 is None else u0
+    u = jnp.zeros(levels[0].shape, levels[0].dtype) if u0 is None else u0
     norm_f = float(blas.norm(f))
 
     # NOTE: hier rides as a traced argument, never a closure constant —
@@ -171,7 +171,7 @@ def mg_solve_fixed(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
     """Fully-traced MGSolve with a static V-cycle count. Returns
     (u, stacked relative residual norms)."""
     levels = hier.levels
-    u = jnp.zeros(levels[0].shape, levels[0].beta_i.dtype) if u0 is None else u0
+    u = jnp.zeros(levels[0].shape, levels[0].dtype) if u0 is None else u0
     norm_f = blas.norm(f)
     rels = []
     for _ in range(num_cycles):
@@ -209,7 +209,7 @@ def fmg_solve(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
     if bot == 0 and u0 is not None:
         u = u0
     else:
-        u = jnp.zeros(levels[bot].shape, levels[bot].beta_i.dtype)
+        u = jnp.zeros(levels[bot].shape, levels[bot].dtype)
     u = _phase(timers, bot, "bottom",
                lambda: bottom_solve(op, levels[bot], u, rhs[bot], cfg,
                                     must_subtract_mean=msm),
@@ -242,7 +242,7 @@ def fmg_solve2(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
     program); used when a single F-cycle isn't enough (e.g. f32 runs).
     """
     levels = hier.levels
-    u = jnp.zeros(levels[0].shape, levels[0].beta_i.dtype) if u0 is None else u0
+    u = jnp.zeros(levels[0].shape, levels[0].dtype) if u0 is None else u0
     subtract = _must_subtract_mean(cfg)
 
     @jax.jit
@@ -285,7 +285,7 @@ def mgpcg(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
 
     @jax.jit
     def init(hier, f):
-        x = jnp.zeros(lv0.shape, lv0.beta_i.dtype)
+        x = jnp.zeros(lv0.shape, lv0.dtype)
         r = op.residual(hier.levels[0], x, f, cfg)
         if subtract:
             r = r - blas.mean(r, cfg.reduce_dtype)
