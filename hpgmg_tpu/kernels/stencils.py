@@ -114,12 +114,12 @@ def tile_shape(n: int):
 
 def use_pallas(cfg: SolverConfig, level: Level, x=None) -> bool:
     """Select the Pallas path: TPU backend (or interpreter in tests),
-    Dirichlet Poisson, kernel-layout coefficients present, supported size.
-    ``cfg.kernels``: "auto" (default; on for TPU), "pallas" (force),
-    "xla" (off)."""
+    Dirichlet or periodic Poisson, kernel-layout coefficients present,
+    supported size. ``cfg.kernels``: "auto" (default; on for TPU),
+    "pallas" (force), "xla" (off)."""
     if getattr(cfg, "kernels", "auto") == "xla":
         return False
-    if cfg.helmholtz or cfg.bc != BC.DIRICHLET:
+    if cfg.helmholtz or cfg.bc not in (BC.DIRICHLET, BC.PERIODIC):
         return False
     if getattr(level, "kbi", None) is None:
         return False
@@ -127,7 +127,12 @@ def use_pallas(cfg: SolverConfig, level: Level, x=None) -> bool:
         # per-shard stacked views: only the distributed path
         # (parallel/shard_kernels.py) can read them
         return False
-    if level.dim < _MIN_DIM or tile_shape(level.dim) is None:
+    if level.dim < _MIN_DIM:
+        return False
+    n = level.dim
+    ts = (tile_shape_local(n, n, n) if cfg.bc == BC.PERIODIC or SINGLE_EXT
+          else tile_shape(n))
+    if ts is None:
         return False
     if (getattr(cfg, "kernels", "auto") != "pallas"
             and level.dim < _AUTO_MIN_DIM):
@@ -138,6 +143,19 @@ def use_pallas(cfg: SolverConfig, level: Level, x=None) -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def kernel_views_eligible(cfg: SolverConfig, dim: int) -> bool:
+    """Build-time gate for attaching the kernel coefficient views
+    (rebuild_operator): BC + size supported by some Pallas path."""
+    if cfg.kernels == "xla" or cfg.helmholtz or dim < _MIN_DIM:
+        return False
+    if cfg.bc == BC.DIRICHLET:
+        return (tile_shape(dim) is not None if not SINGLE_EXT
+                else tile_shape_local(dim, dim, dim) is not None)
+    if cfg.bc == BC.PERIODIC:
+        return tile_shape_local(dim, dim, dim) is not None
+    return False
 
 
 # ---------------------------------------------------------------------------
@@ -335,17 +353,23 @@ def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
 # kernel body
 # ---------------------------------------------------------------------------
 
-def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False):
+def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
+                kperiodic=False):
     """Shared fv4 stencil body on a (bi, bj, n) tile.
 
     mode: 'apply' -> Ax; 'residual' -> rhs - Ax;
           'gsrb' -> x + kdinv[parity] * (rhs - Ax)
 
-    ext: the solution window is PRE-extended (the sharded path: radius-2
-    i/j ghosts — neighbor halos or BC fills — arrive in the array itself,
-    stored j-padded with the live extended rows at fixed offset 6), so no
-    in-kernel boundary synthesis or first/last-tile masks are needed; only
-    the k (lane) ghosts are still synthesized (the k axis is unsharded).
+    ext: the solution window is PRE-extended (the sharded path and the
+    periodic single-chip path: radius-2 i/j ghosts — neighbor halos, BC
+    fills, or periodic wraps — arrive in the array itself, stored j-padded
+    with the live extended rows at fixed offset 6), so no in-kernel
+    boundary synthesis or first/last-tile masks are needed; only the k
+    (lane) ghosts are still synthesized (the k axis is unsharded).
+
+    kperiodic: the k-axis ghosts wrap (periodic BC, boundary_fv.c periodic
+    path): solution lane ghosts are the opposite face's columns and the
+    face-coefficient lane ghosts wrap instead of quintic extrapolation.
     """
     xw_ref, bi_ref, bj_ref, bk_ref, bktop_ref = refs[:5]
     k = 5
@@ -371,10 +395,14 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False):
         # i (from interior), then j (reads i-ghosts), then k (reads both)
         xi = _ext_tile_axis(xw_ref[...], bi, ti, nti, 0, 2)
         xj = _ext_tile_axis(xi, bj, tj, ntj, 1, 8)       # (bi+4, bj+4, n)
-    k1lo, k2lo = _v4_ghost_pair(xj, 2, lo=True)
-    k1hi, k2hi = _v4_ghost_pair(xj, 2, lo=False)
-    xglo = jnp.concatenate([k2lo, k1lo], axis=-1)
-    xghi = jnp.concatenate([k1hi, k2hi], axis=-1)
+    if kperiodic:
+        xglo = xj[..., n - 2:]                 # wrap: lanes n-2, n-1
+        xghi = xj[..., :2]                     # wrap: lanes 0, 1
+    else:
+        k1lo, k2lo = _v4_ghost_pair(xj, 2, lo=True)
+        k1hi, k2hi = _v4_ghost_pair(xj, 2, lo=False)
+        xglo = jnp.concatenate([k2lo, k1lo], axis=-1)
+        xghi = jnp.concatenate([k1hi, k2hi], axis=-1)
 
     # face coefficients: i/j tangential ghosts are baked into the j-padded
     # storage at fixed in-window offsets (see kernel_beta_views); only the
@@ -383,10 +411,16 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False):
     ebj = bj_ref[:, 4:bj + 5, :]       # (bi+2, bj+1, n)
     ebk = bk_ref[:, 3:bj + 5, :]       # (bi+2, bj+2, n)
     ebk_top = bktop_ref[:, 3:bj + 5, :]
-    bi_glo = _quintic_ghost(ebi, 2, lo=True)
-    bi_ghi = _quintic_ghost(ebi, 2, lo=False)
-    bj_glo = _quintic_ghost(ebj, 2, lo=True)
-    bj_ghi = _quintic_ghost(ebj, 2, lo=False)
+    if kperiodic:
+        bi_glo = ebi[..., n - 1:]
+        bi_ghi = ebi[..., :1]
+        bj_glo = ebj[..., n - 1:]
+        bj_ghi = ebj[..., :1]
+    else:
+        bi_glo = _quintic_ghost(ebi, 2, lo=True)
+        bi_ghi = _quintic_ghost(ebi, 2, lo=False)
+        bj_glo = _quintic_ghost(ebj, 2, lo=True)
+        bj_ghi = _quintic_ghost(ebj, 2, lo=False)
 
     ax = (-b_h2inv / 12.0) * _flux_ax(
         xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
@@ -482,7 +516,7 @@ def tile_shape_local(ni: int, nj: int, nk: int):
 
 
 def fv4_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
-                 b_h2inv: float):
+                 b_h2inv: float, kperiodic: bool = False):
     """Pallas call on ONE shard's pre-extended block (the shard_map body of
     the distributed fast path, parallel/shard_kernels.py).
 
@@ -499,7 +533,7 @@ def fv4_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
     nti, ntj = ni // bi, nj // bj
     kernel = functools.partial(
         _fv4_kernel, n=nk, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
-        b_h2inv=b_h2inv, ext=True)
+        b_h2inv=b_h2inv, ext=True, kperiodic=kperiodic)
 
     E = pl.Element
 
@@ -534,18 +568,55 @@ def fv4_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
     )(*args)
 
 
+def _extend_ij_single(x, bc: BC):
+    """Single-chip i/j extension into the ext-mode layout (n+4, n+16, n):
+    periodic wrap, or the separable quartic Dirichlet fill (i from
+    interior, then j reading the i-ghosts)."""
+    if bc == BC.PERIODIC:
+        xe = jnp.pad(x, ((2, 2), (2, 2), (0, 0)), mode="wrap")
+    else:
+        from hpgmg_tpu.ops.bc_fv import _extend_axis_v4
+
+        xe = _extend_axis_v4(_extend_axis_v4(x, 0, 2), 1, 2)
+    return jnp.pad(xe, ((0, 0), (6, 6), (0, 0)))
+
+
+def _fv4_call_single_ext(level: Level, x, rhs, dinv, cfg: SolverConfig,
+                         mode: str):
+    """Single-chip launch through the ext-mode kernel: ghosts are
+    materialized by XLA outside the kernel (one fused pad+fill pass) —
+    required for periodic BCs (wrap ghosts live on the opposite domain
+    face, outside any local window) and available as an A/B alternative
+    for Dirichlet."""
+    xe = _extend_ij_single(x, cfg.bc)
+    return fv4_call_ext(xe, level.kbi, level.kbj, level.kbk, level.kbk_top,
+                        rhs, dinv, mode, cfg.b * level.h2inv,
+                        kperiodic=cfg.bc == BC.PERIODIC)
+
+
+# Dirichlet single-chip A/B switch: masked in-kernel ghost synthesis
+# (default) vs pre-extended ext-mode. Periodic always uses ext mode.
+SINGLE_EXT = False
+
+
+def _single_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
+    if cfg.bc == BC.PERIODIC or SINGLE_EXT:
+        return _fv4_call_single_ext(level, x, rhs, dinv, cfg, mode)
+    return _fv4_call(level, x, rhs, dinv, cfg, mode)
+
+
 def fv4_apply_pallas(level: Level, x, cfg: SolverConfig):
-    return _fv4_call(level, x, None, None, cfg, "apply")
+    return _single_call(level, x, None, None, cfg, "apply")
 
 
 def fv4_residual_pallas(level: Level, x, rhs, cfg: SolverConfig):
-    return _fv4_call(level, x, rhs, None, cfg, "residual")
+    return _single_call(level, x, rhs, None, cfg, "residual")
 
 
 def fv4_gsrb_sweep_pallas(level: Level, x, rhs, cfg: SolverConfig,
                           parity: int):
     """One GSRB half-sweep, boundary fill fused into the stencil kernel."""
-    return _fv4_call(level, x, rhs, level.kdinv[parity & 1], cfg, "gsrb")
+    return _single_call(level, x, rhs, level.kdinv[parity & 1], cfg, "gsrb")
 
 
 # ---------------------------------------------------------------------------

@@ -180,8 +180,8 @@ class FV4(base.OperatorSuite):
         return rhs - self.apply_op(level, x, cfg)
 
     def rebuild_operator(self, level: Level, cfg: SolverConfig) -> Level:
-        from hpgmg_tpu.kernels.stencils import (_MIN_DIM, kernel_beta_views,
-                                                tile_shape)
+        from hpgmg_tpu.kernels.stencils import (kernel_beta_views,
+                                                kernel_views_eligible)
 
         # extend betas tangentially once per level (extrapolate_betas analog)
         lv = dataclasses.replace(
@@ -195,8 +195,7 @@ class FV4(base.OperatorSuite):
         # blackbox probe sweeps above stay on the XLA path (kbi is the
         # use_pallas gate; tracing dozens of probe kernels into the one-time
         # build program would bloat/crash the compile)
-        if (cfg.kernels != "xla" and cfg.bc == BC.DIRICHLET
-                and level.dim >= _MIN_DIM and tile_shape(level.dim)):
+        if kernel_views_eligible(cfg, level.dim):
             from hpgmg_tpu.core.level import rb_mask
 
             kbi, kbj, kbk, kbk_top = kernel_beta_views(

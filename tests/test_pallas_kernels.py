@@ -99,3 +99,77 @@ def test_gsrb_sweep_matches_xla(setup, parity):
     out = K.fv4_gsrb_sweep_pallas(lv, x, prob.f, cfg, parity)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_dirichlet_ext_mode_matches_xla(setup, monkeypatch):
+    """The pre-extended (ext) single-chip path — ghosts materialized by
+    XLA outside the kernel — against the XLA reference (Dirichlet A/B of
+    the layout the periodic and sharded paths use)."""
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    monkeypatch.setattr(K, "SINGLE_EXT", True)
+    ref = op.apply_op(lv, x, dataclasses_xla(cfg))
+    out = K.fv4_apply_pallas(lv, x, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-10)
+    ax = op.apply_op(lv, x, dataclasses_xla(cfg))
+    ref_g = x + rb_mask(48, 1, x.dtype) * lv.dinv * (prob.f - ax)
+    out_g = K.fv4_gsrb_sweep_pallas(lv, x, prob.f, cfg, 1)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g),
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def setup_periodic():
+    from hpgmg_tpu.core.config import BC
+
+    cfg = SolverConfig(op="fv4", a=0.0, dtype=jnp.float64, bc=BC.PERIODIC)
+    prob = init_problem_fv(48, dtype=jnp.float64, periodic=True)
+    hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
+                           alpha=prob.alpha)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((48, 48, 48)))
+    return cfg, prob, hier, get_suite("fv4"), x
+
+
+@pytest.mark.parametrize("mode", ["apply", "gsrb"])
+def test_periodic_matches_xla(setup_periodic, mode):
+    """Periodic BCs through the kernel (wrap ghosts fed via the
+    pre-extended layout + in-kernel lane wraps) vs the XLA wrap path —
+    closes the round-2 gap where periodic silently fell back ~2x slower
+    (USE_PERIODIC_BC, hpgmg-fv.c:296-302 runs the same GSRB hot loop)."""
+    cfg, prob, hier, op, x = setup_periodic
+    lv = hier.levels[0]
+    assert lv.kbi is not None  # views attached for periodic now
+    assert K.use_pallas(dataclasses_replace_kernels(cfg, "pallas"), lv, x)
+    if mode == "apply":
+        ref = op.apply_op(lv, x, dataclasses_xla(cfg))
+        out = K.fv4_apply_pallas(lv, x, cfg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-10)
+    else:
+        ax = op.apply_op(lv, x, dataclasses_xla(cfg))
+        ref = x + rb_mask(48, 0, x.dtype) * lv.dinv * (prob.f - ax)
+        out = K.fv4_gsrb_sweep_pallas(lv, x, prob.f, cfg, 0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def dataclasses_replace_kernels(cfg, kernels):
+    import dataclasses
+    return dataclasses.replace(cfg, kernels=kernels)
+
+
+def test_periodic_fcycle_matches_xla(setup_periodic):
+    """Whole periodic F-cycle: kernel path == XLA path (+ mean handling)."""
+    from hpgmg_tpu.solve.mg import fmg_solve
+
+    cfg, prob, hier, op, x = setup_periodic
+    cfg_p = dataclasses_replace_kernels(cfg, "pallas")
+    u_ref, r_ref, f_ref = jax.jit(lambda h, f: fmg_solve(
+        op, h, f, dataclasses_xla(cfg)))(hier, prob.f)
+    u_out, r_out, f_out = jax.jit(lambda h, f: fmg_solve(
+        op, h, f, cfg_p))(hier, prob.f)
+    assert float(r_out) / float(f_out) < 2e-3
+    np.testing.assert_allclose(np.asarray(u_out), np.asarray(u_ref),
+                               rtol=1e-10, atol=1e-12)
