@@ -1,9 +1,17 @@
 #!/usr/bin/env python
 """Headline benchmark: FV F-cycle DOF/s on the available TPU chip(s).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: the reference's published FV 4th-order F-cycle throughput of
-2.781e8 DOF/s on 8 ranks x 8 threads of Cray XC-30 (BASELINE.md).
+2.781e8 DOF/s on 8 ranks x 8 threads of Cray XC-30 (BASELINE.md), measured
+at 512^3 with a BiCGStab bottom (README.md:136-303).
+
+Beyond the headline value the JSON records the protocol: grid size, dtype,
+bottom solver, the measured Richardson order (~4 proves the 4th-order
+operator on this hardware, mg.c:1113-1131), and a BiCGStab-bottom
+companion throughput so the comparison against the reference's exact
+configuration is protocol-clean (solvers.c:27, mg.h:18-19) alongside the
+TPU-native DIRECT-bottom headline.
 """
 
 import json
@@ -23,31 +31,53 @@ BASELINE_DOF_S = 2.781e8  # README.md:303 (reference)
 
 
 def main():
-    # 256^3 headline: the reference benchmarks at 512^3 (hpgmg-fv 7 8);
-    # large n amortizes the coarse-level fixed costs on both sides, and
-    # the 2D-tiled kernel keeps per-DOF cost flat from 128^3 up
+    # 256^3 default headline; the reference benchmarks at 512^3
+    # (hpgmg-fv 7 8) — run HPGMG_BENCH_N=512 for grid-size parity. Large n
+    # amortizes the coarse-level fixed costs on both sides.
     n = int(os.environ.get("HPGMG_BENCH_N", "256"))
     op = os.environ.get("HPGMG_BENCH_OP", "fv4")  # the HPGMG-500 operator
-    cfg = SolverConfig(
-        op=op,
-        a=0.0,
-        b=1.0,
-        smoother=Smoother.GSRB,
-        bottom=BottomSolver.DIRECT,  # exact dense bottom (one MXU matvec)
-        # 8^3 bottom: the exact direct solve makes the 4^3/2^3 tail levels
-        # pure overhead (reference MAX_COARSE_DIM=11 permits 11^3 bottoms);
-        # measured: 8^3 bottom beats 4^3 by ~3% at n=128
-        min_coarse_dim=8,
-        dtype=jnp.float32,
-    )
+    with_richardson = os.environ.get("HPGMG_BENCH_ORDER", "1") != "0"
+    with_bicgstab = os.environ.get("HPGMG_BENCH_BICGSTAB", "1") != "0"
+
+    def cfg_for(bottom):
+        return SolverConfig(
+            op=op,
+            a=0.0,
+            b=1.0,
+            smoother=Smoother.GSRB,
+            bottom=bottom,
+            # 8^3 bottom: the exact direct solve makes the 4^3/2^3 tail
+            # levels pure overhead (reference MAX_COARSE_DIM=11 permits
+            # 11^3 bottoms); measured: 8^3 beats 4^3 by ~3% at n=128
+            min_coarse_dim=8,
+            dtype=jnp.float32,
+        )
+
+    cfg = cfg_for(BottomSolver.DIRECT)  # exact dense bottom, one MXU matvec
     res = run_benchmark(n, cfg, mesh=None, min_solve_seconds=2.0,
+                        dynamic_range=3 if with_richardson else 1,
                         verbose=False)
-    print(json.dumps({
+    out = {
         "metric": f"{op}_fcycle_dof_per_s_n{n}",
         "value": res.dof_per_second,
         "unit": "DOF/s",
         "vs_baseline": res.dof_per_second / BASELINE_DOF_S,
-    }))
+        "n": n,
+        "dtype": "float32",
+        "smoother": "gsrb",
+        "bottom": "direct",
+        "rel_residual": res.rel_residual,
+        "seconds_per_solve": res.seconds_per_solve,
+    }
+    if res.richardson_order is not None:
+        out["richardson_order"] = round(res.richardson_order, 3)
+    if with_bicgstab:
+        # protocol-clean companion: the reference's own bottom solver
+        res_b = run_benchmark(n, cfg_for(BottomSolver.BICGSTAB), mesh=None,
+                              min_solve_seconds=2.0, verbose=False)
+        out["bicgstab_dof_per_s"] = res_b.dof_per_second
+        out["bicgstab_vs_baseline"] = res_b.dof_per_second / BASELINE_DOF_S
+    print(json.dumps(out))
     return 0
 
 

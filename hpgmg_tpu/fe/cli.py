@@ -20,7 +20,8 @@ import jax.numpy as jnp
 def main(argv=None):
     p = argparse.ArgumentParser(description="TPU HPGMG-FE driver")
     p.add_argument("action", choices=["fmg", "mgv", "sample",
-                                      "test-kspsolve"])
+                                      "test-kspsolve", "test-grid",
+                                      "test-fespace", "test-feinject"])
     p.add_argument("-M", default="8,8,8", help="global elements per axis")
     p.add_argument("-op_type", default="poisson2",
                    choices=["poisson1", "poisson2", "poisson2affine"])
@@ -73,6 +74,73 @@ def main(argv=None):
     grid = FEGrid(M=M, degree=op.degree, L=L, addquadpts=args.add_quad_pts)
 
     emax, emin = (float(s) for s in args.mg_eig_target.split(","))
+
+    if args.action == "test-grid":
+        # TestGrid (fefas-test.c:95-109) / GridView: print the coarsening
+        # ladder. The reference prints per-rank element ranges; under
+        # GSPMD decomposition the per-chip ranges are the mesh sharding,
+        # so print the ladder + the sharding each level would get.
+        g = grid
+        lev = 0
+        while True:
+            print(f"Level {lev}: M [{g.M[0]} {g.M[1]} {g.M[2]}]  "
+                  f"nodes [{g.nodes[0]} {g.nodes[1]} {g.nodes[2]}]  "
+                  f"neq {g.neq}")
+            if not g.can_coarsen():
+                break
+            g = g.coarsen()
+            lev += 1
+        return 0
+
+    if args.action == "test-fespace":
+        # TestFESpace (fefas-test.c:110-141): fill the global vector with
+        # its own global numbering, move global->local, print. The global
+        # array IS the function space here (no halo copies to check), so
+        # print the numbering with node coordinates.
+        from hpgmg_tpu.fe.fas import build_fe_levels
+
+        levels = build_fe_levels(grid, op, dtype)
+        L0 = levels[0]
+        nx, ny, nz = grid.nodes
+        g = jnp.arange(nx * ny * nz, dtype=dtype).reshape(nx, ny, nz)
+        c = L0.coords
+        for i in range(nx):
+            for j in range(ny):
+                for k in range(nz):
+                    print(f"u[{int(g[i, j, k]):3d}] at "
+                          f"{float(c[0, i, j, k]):5.2f} "
+                          f"{float(c[1, i, j, k]):5.2f} "
+                          f"{float(c[2, i, j, k]):5.2f}")
+        return 0
+
+    if args.action == "test-feinject":
+        # TestFEInject (fefas-test.c:210-268): u = 1e6 x + 1e3 y + z on the
+        # fine nodes; inject (state restriction Rhat) to the coarse grid;
+        # print coarse values with coordinates — injected values encode
+        # their coordinates, making misrouted injection visible.
+        from hpgmg_tpu.fe.fas import build_fe_levels
+
+        levels = build_fe_levels(grid, op, dtype)
+        L0 = levels[0]
+        c = L0.coords
+        u = 1e6 * c[0] + 1e3 * c[1] + c[2]
+        if not grid.can_coarsen():
+            print("grid cannot coarsen; nothing to inject")
+            return 0
+        gc = grid.coarsen()
+        uc = grid.inject(u)
+        cc = build_fe_levels(gc, op, dtype)[0].coords
+        nx, ny, nz = gc.nodes
+        idx = 0
+        for i in range(nx):
+            for j in range(ny):
+                for k in range(nz):
+                    print(f"coarse u[{idx:2d}] = {float(uc[i, j, k]):10.1f} "
+                          f"at {float(cc[0, i, j, k]):4.1f} "
+                          f"{float(cc[1, i, j, k]):4.1f} "
+                          f"{float(cc[2, i, j, k]):4.1f}")
+                    idx += 1
+        return 0
 
     if args.action == "fmg":
         run_fmg(grid, op, args.poisson_solution, dtype=dtype,

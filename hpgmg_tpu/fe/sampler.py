@@ -149,6 +149,23 @@ def sample_on_grid(op: FEOp, M, degree: int, dtype=jnp.float32,
 
     _ = float(chained(levels, f))  # compile + warm (host sync)
 
+    # Measure the bottom-CG trip count for THIS problem instead of
+    # guessing it (the reference's GF comes from measured petsc_TotalFlops,
+    # sampler.c:202-224; our analytic model needs the one
+    # convergence-dependent count): restrict the forcing down the ladder
+    # exactly as fas_fcycle does and count the zero-guess coarse solve.
+    from hpgmg_tpu.fe.fas import cg_info
+
+    b = f
+    for lev in range(len(levels) - 1):
+        Lc = levels[lev + 1]
+        b = Lc.grid.zero_boundaries(levels[lev].grid.restrict(Lc.grid, b))
+    Lb = levels[-1]
+    _, cg_j, _ = jax.jit(lambda Lb, b: cg_info(
+        op, Lb, b, jnp.zeros_like(b),
+        max_iters=min(400, 2 * Lb.grid.neq + 10)))(Lb, b)
+    cg_iters = max(int(cg_j), 1)
+
     best = float("inf")
     elapsed_total, runs = 0.0, 0
     while runs < repeat or elapsed_total < mintime:
@@ -161,7 +178,8 @@ def sample_on_grid(op: FEOp, M, degree: int, dtype=jnp.float32,
         if runs > 100:
             break
     eqs = grid.ndof
-    flops = fcycle_flops(grid)  # default pre/post match fas_fcycle defaults
+    # default pre/post match fas_fcycle defaults; cg_iters is measured above
+    flops = fcycle_flops(grid, cg_iters=cg_iters)
     return SampleResult(M=tuple(M), seconds=best,
                         gflops=flops / best / 1e9,
                         meq_per_s=eqs / best / 1e6)

@@ -38,3 +38,39 @@ def test_sample_on_grid_runs():
     r = sample_on_grid(get_fe_op("poisson2"), (2, 2, 2), degree=2,
                        dtype=jnp.float64, repeat=1, mintime=0.0)
     assert r.seconds > 0 and r.meq_per_s > 0 and r.gflops > 0
+
+
+def test_apply_flop_model_matches_xla_cost_analysis():
+    """Validate the analytic flop model against XLA's own instruction
+    count (the reference's GF comes from measured petsc_TotalFlops,
+    sampler.c:202-224 — our model must agree with an instrumented count).
+
+    Scope note: on TPU the element gather/scatter are 0/1-matrix einsums,
+    which XLA counts as flops; in the reference they are memcpys that
+    PetscLogFlops does NOT count (grid.c DMFEExtractElements). So the GF
+    metric keeps the reference's semantics (algorithmic contraction +
+    pointwise flops only) and this test compares the model against the
+    XLA count with the gather einsums counted separately and subtracted.
+    Measured: model/core = 1.034 (Q2, M=8^3)."""
+    import jax
+    from hpgmg_tpu.fe.fas import _apply, build_fe_levels
+    from hpgmg_tpu.fe.grid import FEGrid
+    from hpgmg_tpu.fe.sampler import _apply_flops_per_elem
+
+    op = get_fe_op("poisson2")
+    grid = FEGrid(M=(8, 8, 8), degree=2)
+    L0 = build_fe_levels(grid, op, jnp.float64)[0]
+    u = jnp.ones(grid.nodes, jnp.float64)
+
+    def flops(fn, *args):
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        return float(cost["flops"])
+
+    full = flops(lambda L, u: _apply(op, L, u), L0, u)
+    gather = flops(grid.extract_elements, u)
+    scatter = flops(grid.assemble_add, grid.extract_elements(u))
+    zb = flops(grid.zero_boundaries, u)
+    core = full - gather - scatter - zb
+    model = _apply_flops_per_elem(grid) * 8 * 8 * 8
+    assert abs(model - core) / core < 0.15, (model, core, full)

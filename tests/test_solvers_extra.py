@@ -67,3 +67,36 @@ class TestCAKrylov:
         u1, h1 = mg_solve(op, hier, prob.f, cfg1)
         u2, h2 = mg_solve(op, hier, prob.f, cfg2)
         assert h1[-1] < 1e-10 and h2[-1] < 1e-10, (h1, h2)
+
+
+class TestUCycle:
+    def test_truncated_ladder_is_ucycle(self):
+        """The reference's legacy U-cycle truncates the ladder instead of
+        coarsening to 1^3 (mg.c:878-893); here that is expressed by
+        raising min_coarse_dim (config.py CycleType note). Golden check:
+        the truncated ladder really is shorter, still contracts the
+        residual every V-cycle (~1 digit each), and converges to the same
+        solution as the full ladder."""
+        import numpy as np
+        from hpgmg_tpu.solve.mg import mg_solve
+
+        cfg_full, prob, hier_full = setup(32, bottom=BottomSolver.BICGSTAB)
+        cfg_u, _, hier_u = setup(32, bottom=BottomSolver.BICGSTAB,
+                                 min_coarse_dim=8)
+        assert hier_u.num_levels < hier_full.num_levels
+        assert hier_u.levels[-1].dim == 8
+
+        op = get_suite(cfg_full.op)
+        u_full, hist_full = mg_solve(op, hier_full, prob.f, cfg_full)
+        u_u, hist_u = mg_solve(op, hier_u, prob.f, cfg_u)
+
+        # both reach rtol; the U-cycle does not need more than ~2 extra
+        # cycles (the 8^3 bottom is solved exactly enough by BiCGStab)
+        assert hist_full[-1] < 1e-10 and hist_u[-1] < 1e-10
+        assert len(hist_u) <= len(hist_full) + 2, (hist_u, hist_full)
+        # per-cycle contraction ~1 digit on the truncated ladder too
+        rates = [hist_u[i + 1] / hist_u[i] for i in range(len(hist_u) - 1)]
+        assert max(rates) < 0.25, hist_u
+        # same discrete solution (same operator, same rtol)
+        np.testing.assert_allclose(np.asarray(u_u), np.asarray(u_full),
+                                   rtol=1e-8, atol=1e-9)
