@@ -31,10 +31,10 @@ BASELINE_DOF_S = 2.781e8  # README.md:303 (reference)
 
 
 def main():
-    # 256^3 default headline; the reference benchmarks at 512^3
-    # (hpgmg-fv 7 8) — run HPGMG_BENCH_N=512 for grid-size parity. Large n
-    # amortizes the coarse-level fixed costs on both sides.
-    n = int(os.environ.get("HPGMG_BENCH_N", "256"))
+    # 512^3 default headline = the reference benchmark size
+    # (hpgmg-fv 7 8), measured 2.29x baseline (BENCH_r03); override with
+    # HPGMG_BENCH_N for smaller grids.
+    n = int(os.environ.get("HPGMG_BENCH_N", "512"))
     op = os.environ.get("HPGMG_BENCH_OP", "fv4")  # the HPGMG-500 operator
     with_richardson = os.environ.get("HPGMG_BENCH_ORDER", "1") != "0"
     with_bicgstab = os.environ.get("HPGMG_BENCH_BICGSTAB", "1") != "0"

@@ -41,7 +41,7 @@ def run_weak(per_chip: int, n_devices: int, op_name: str = "fv4",
     prob = init_problem_fv(n, dtype=dtype)
     hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
                            alpha=prob.alpha)
-    hier = shard_hierarchy(mesh, hier)
+    hier = shard_hierarchy(mesh, hier, cfg)
     f = shard_array(mesh, prob.f)
     opsuite = get_suite(op_name)
 
@@ -74,15 +74,22 @@ def main(argv=None):
     p.add_argument("--devices", type=int, nargs="+", default=[1])
     p.add_argument("--dtype", default="float32")
     args = p.parse_args(argv)
-    base = None
+    base_t = None
     for nd in args.devices:
         r = run_weak(args.per_chip, nd, args.op, jnp.dtype(args.dtype))
-        if base is None:
-            base = r["dof_per_s"]
-        eff = r["dof_per_s"] / (base * nd)
+        if base_t is None:
+            base_t = r["seconds"]
+        # weak-eff: wall-clock efficiency vs the 1-device run (the real
+        # metric on real chips). serial-eff: efficiency vs the SERIALIZED
+        # ideal nd*t1 — on forced-host virtual devices sharing one core
+        # the shards execute sequentially, so serial-eff isolates the
+        # distribution layer's overhead (halos, collectives, resharding)
+        # from the absent hardware parallelism.
+        weak_eff = base_t / r["seconds"]
+        serial_eff = nd * base_t / r["seconds"]
         print(f"devices={r['devices']:3d} mesh={r['mesh']} n={r['n']:4d} "
               f"{r['seconds'] * 1e3:8.2f} ms/solve {r['dof_per_s']:.3e} DOF/s "
-              f"weak-eff={eff:5.2f}")
+              f"weak-eff={weak_eff:5.2f} serial-eff={min(serial_eff, 1.0):5.2f}")
     return 0
 
 

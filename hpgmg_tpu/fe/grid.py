@@ -84,17 +84,29 @@ class FEGrid:
         return jnp.linspace(0.0, self.L[axis], n, dtype=dtype)
 
     def node_coords(self, dtype=jnp.float64, distort: float = 0.0):
-        """(3, Nx, Ny, Nz) nodal coordinates; ``distort`` applies the smooth
-        in-cube distortion used by the reference drivers (DMCoordDistort,
-        fmg.c:396-419 uses ~5%)."""
+        """(3, Nx, Ny, Nz) nodal coordinates; ``distort`` applies the
+        reference's smooth "swirl" distortion (DMCoordDistort,
+        fmg.c:396-419): rotate (x, y) about the domain axis by
+        theta = A * cos^2(pi*r/2) * sin(pi*z) with r the clipped radial
+        distance of the normalized (x, y) from the axis; z unchanged.
+        The reference hard-codes A = 0.1 ("5% distortion"); here
+        ``distort=0.05`` reproduces that (A = 2*distort), and other
+        values scale the same swirl."""
         xs = [self.node_coords_1d(a, dtype) for a in range(3)]
         X = jnp.stack(jnp.meshgrid(*xs, indexing="ij"))
         if distort:
-            # smooth, boundary-preserving: x += eps*L*sin(pi x/L)*... per axis
             pi = jnp.pi
-            s = [jnp.sin(pi * X[a] / self.L[a]) for a in range(3)]
-            bump = s[0] * s[1] * s[2]
-            X = jnp.stack([X[a] + distort * self.L[a] * bump for a in range(3)])
+            x = X[0] / self.L[0]
+            y = X[1] / self.L[1]
+            z = X[2] / self.L[2]
+            r = jnp.minimum(
+                jnp.sqrt((2 * x - 1) ** 2 + (2 * y - 1) ** 2), 1.0)
+            theta = (2.0 * distort) * jnp.cos(pi * r / 2) ** 2 \
+                * jnp.sin(pi * z)
+            c, s = jnp.cos(theta), jnp.sin(theta)
+            newx = (0.5 + c * (x - 0.5) - s * (y - 0.5)) * self.L[0]
+            newy = (0.5 + s * (x - 0.5) + c * (y - 0.5)) * self.L[1]
+            X = jnp.stack([newx, newy, X[2]])
         return X
 
     # ------------------------------------------------------------------

@@ -190,18 +190,26 @@ class FV4(base.OperatorSuite):
             beta_j=extend_beta_tangential(level.beta_j, 1, cfg.bc),
             beta_k=extend_beta_tangential(level.beta_k, 2, cfg.bc),
         )
-        lv = rebuild_blackbox(self, lv, cfg, colors=4)
-        # attach the lane-aligned Pallas coefficient views LAST so the
-        # blackbox probe sweeps above stay on the XLA path (kbi is the
-        # use_pallas gate; tracing dozens of probe kernels into the one-time
-        # build program would bloat/crash the compile)
+        # Attach the lane-aligned Pallas coefficient views BEFORE the
+        # blackbox probes so the probe applies run through the kernel on
+        # eligible levels (the fori_loop body traces ONE kernel call). The
+        # XLA apply at 512^3 materializes ~25 shifted copies of the
+        # ghost-extended array (~13.7 GB of temporaries — measured: the
+        # standalone XLA apply compile needs 15.81G of 15.75G HBM), which
+        # both OOMs the build at 512 and leaves the device unable to
+        # launch Mosaic kernels afterwards.
         if kernel_views_eligible(cfg, level.dim):
-            from hpgmg_tpu.core.level import rb_mask
-
             kbi, kbj, kbk, kbk_top = kernel_beta_views(
                 lv.beta_i, lv.beta_j, lv.beta_k)
+            lv = dataclasses.replace(lv, kbi=kbi, kbj=kbj, kbk=kbk,
+                                     kbk_top=kbk_top)
+        lv = rebuild_blackbox(self, lv, cfg, colors=4)
+        if lv.kbi is not None:
+            from hpgmg_tpu.core.level import rb_mask
+
+            # GSRB parity masks folded into dinv (the GSRB_FP plane,
+            # gsrb.c:78-87, moved to build time)
             kdinv = tuple(rb_mask(lv.dim, p, lv.dinv.dtype) * lv.dinv
                           for p in (0, 1))
-            lv = dataclasses.replace(lv, kbi=kbi, kbj=kbj, kbk=kbk,
-                                     kbk_top=kbk_top, kdinv=kdinv)
+            lv = dataclasses.replace(lv, kdinv=kdinv)
         return lv

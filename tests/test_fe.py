@@ -256,3 +256,39 @@ class TestFEOptions:
         r2, emax, el2 = [float(x) for x in
                          diagnostics(op, levels[0], f, u, "sine")]
         assert r2 < 0.1 and el2 < 0.2, (r2, emax, el2)
+
+
+    def test_distortion_matches_reference_formula(self):
+        """node_coords(distort=0.05) reproduces DMCoordDistort
+        (fmg.c:396-419) exactly: theta = 0.1*cos^2(pi*r/2)*sin(pi*z)
+        swirl about the (x,y) center, z fixed, boundaries fixed."""
+        import math
+
+        import numpy as np
+
+        from hpgmg_tpu.fe.grid import FEGrid
+
+        g = FEGrid(M=(4, 4, 4), degree=2)
+        X = np.asarray(g.node_coords(distort=0.05))
+        undistorted = np.asarray(g.node_coords())
+        nx, ny, nz = g.nodes
+        for idx in [(0, 0, 0), (2, 3, 4), (4, 4, 4), (nx - 1, 0, 3),
+                    (3, 3, 3), (1, 7, 5)]:
+            i, j, k = (min(a, s - 1) for a, s in zip(idx, (nx, ny, nz)))
+            x, y, z = (undistorted[d, i, j, k] for d in range(3))
+            r = min(math.sqrt((2 * x - 1) ** 2 + (2 * y - 1) ** 2), 1.0)
+            theta = 0.1 * math.cos(math.pi * r / 2) ** 2 \
+                * math.sin(math.pi * z)
+            newx = 0.5 + math.cos(theta) * (x - 0.5) \
+                - math.sin(theta) * (y - 0.5)
+            newy = 0.5 + math.sin(theta) * (x - 0.5) \
+                + math.cos(theta) * (y - 0.5)
+            assert abs(X[0, i, j, k] - newx) < 1e-12
+            assert abs(X[1, i, j, k] - newy) < 1e-12
+            assert abs(X[2, i, j, k] - z) < 1e-15
+        # domain boundary nodes do not move (r == 1 or sin(pi z) == 0)
+        assert np.allclose(X[:, 0, :, :], undistorted[:, 0, :, :])
+        assert np.allclose(X[:, :, :, 0], undistorted[:, :, :, 0])
+        assert np.allclose(X[:, :, :, -1], undistorted[:, :, :, -1])
+        # interior nodes do move
+        assert not np.allclose(X[0], undistorted[0])

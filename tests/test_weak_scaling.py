@@ -1,0 +1,59 @@
+"""Distribution-layer overhead tracking on the virtual mesh.
+
+Wall-clock weak scaling on the CI host is meaningless twice over: the 8
+virtual devices share ONE physical core (shards execute sequentially,
+capping weak-eff at 1/8 by construction) and the box is contended (the
+measured serialized efficiency swung 0.93 -> 0.15 between otherwise
+identical runs). The committed wall-clock artifact lives in
+docs/WEAK_r03.md, measured on a quiet machine; THIS test tracks the
+deterministic part: the distributed program's total-FLOP overhead vs the
+single-device program — what the distribution layer adds in redundant
+work (replicated coarse levels, halo-region recompute). Communication
+cost is tracked by the dryrun + sharded-parity tests; speedup needs real
+chips.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+requires_8dev = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _flops(fn, *args):
+    cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    return float(cost["flops"])
+
+
+@requires_8dev
+def test_distributed_flop_overhead():
+    from hpgmg_tpu.core.config import SolverConfig
+    from hpgmg_tpu.core.hierarchy import build_hierarchy
+    from hpgmg_tpu.ops.base import get_suite
+    from hpgmg_tpu.parallel.mesh import (active_mesh, make_mesh, shard_array,
+                                         shard_hierarchy)
+    from hpgmg_tpu.problems.fv import init_problem_fv
+    from hpgmg_tpu.solve.mg import fmg_solve
+
+    cfg = SolverConfig(op="fv4", a=0.0, dtype=jnp.float32)
+    op = get_suite(cfg.op)
+    prob = init_problem_fv(64, dtype=jnp.float32)
+    hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg)
+
+    serial = _flops(lambda h, f: fmg_solve(op, h, f, cfg), hier, prob.f)
+
+    mesh = make_mesh()
+    hier_s = shard_hierarchy(mesh, hier, cfg)
+    f_s = shard_array(mesh, prob.f)
+    with active_mesh(mesh):
+        dist = _flops(lambda h, f: fmg_solve(op, h, f, cfg), hier_s, f_s)
+
+    # cost_analysis on an SPMD program reports per-device flops; total
+    # distributed work = 8 * per-device. Overhead comes from replicated
+    # coarse levels (8x redundant below the agglomeration floor) and
+    # halo-region recompute — together they must stay a small multiple of
+    # the serial work for weak scaling to hold on real chips.
+    overhead = 8.0 * dist / serial
+    assert overhead < 2.0, (serial, dist, overhead)
