@@ -1,0 +1,95 @@
+"""GSRB half-sweep micro-benchmark: masked vs pre-extended kernel paths.
+
+Times K data-dependent GSRB smooths (6 half-sweeps each) chained inside
+one jitted fori_loop (single launch; the axon tunnel adds ~28 ms/launch
+and block_until_ready is unreliable — sync via host transfer).
+
+Compares the two single-chip Dirichlet paths:
+  masked — in-kernel ghost synthesis + first/last-tile mask blends
+  ext    — ghosts pre-materialized by one fused XLA pad (the layout the
+           periodic/sharded paths use); trades ~1.2x HBM reads for the
+           removal of the boundary-blend VPU passes — the kernel is
+           VPU-bound (CLAUDE.md), so this can win despite more traffic.
+
+Usage: python -m hpgmg_tpu.bench.kernel_sweep [--sizes 128 256] [--reps 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+import jax
+import jax.numpy as jnp
+
+
+def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
+                mxu: bool = False) -> float:
+    """Seconds per HALF-sweep."""
+    import hpgmg_tpu.kernels.stencils as K
+    from hpgmg_tpu.core.config import BottomSolver, SolverConfig
+    from hpgmg_tpu.core.hierarchy import build_hierarchy, slim_hierarchy
+    from hpgmg_tpu.ops.base import get_suite
+    from hpgmg_tpu.problems.fv import init_problem_fv
+    from hpgmg_tpu.solve.smoothers import gsrb
+
+    cfg = SolverConfig(op="fv4", a=0.0, b=1.0, dtype=dtype,
+                       bottom=BottomSolver.DIRECT, min_coarse_dim=8)
+    prob = init_problem_fv(n, dtype=dtype)
+    hier = slim_hierarchy(
+        build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg), cfg)
+    lv, f = hier.levels[0], prob.f
+    del prob, hier
+    op = get_suite("fv4")
+
+    old = K.SINGLE_EXT
+    old_mxu = K.MXU_JDIFF
+    K.SINGLE_EXT = ext
+    K.MXU_JDIFF = mxu
+    try:
+        @jax.jit
+        def chained(lv, x, rhs):
+            def body(i, x):
+                return gsrb(op, lv, x, rhs + 0.0 * x[0, 0, 0], cfg)
+
+            return jax.lax.fori_loop(0, reps, body, x)
+
+        x = jnp.zeros_like(f)
+        _ = float(chained(lv, x, f)[0, 0, 0])  # compile + warm
+        t0 = time.perf_counter()
+        _ = float(chained(lv, x, f)[0, 0, 0])
+        dt = time.perf_counter() - t0
+    finally:
+        K.SINGLE_EXT = old
+        K.MXU_JDIFF = old_mxu
+    return dt / (reps * 6)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", type=int, nargs="+", default=[128, 256])
+    p.add_argument("--reps", type=int, default=50)
+    p.add_argument("--mxu", action="store_true",
+                   help="also time the MXU j-difference kernel variant")
+    args = p.parse_args(argv)
+    print(f"backend={jax.default_backend()}")
+    for n in args.sizes:
+        t_mask = time_sweeps(n, ext=False, reps=args.reps)
+        t_ext = time_sweeps(n, ext=True, reps=args.reps)
+        line = (f"n={n:4d} masked {t_mask * 1e6:8.1f} us/half-sweep | "
+                f"ext {t_ext * 1e6:8.1f} us | ext/masked "
+                f"{t_ext / t_mask:5.2f}")
+        if args.mxu:
+            t_mxu = time_sweeps(n, ext=False, reps=args.reps, mxu=True)
+            line += (f" | mxu {t_mxu * 1e6:8.1f} us "
+                     f"(mxu/masked {t_mxu / t_mask:5.2f})")
+        print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

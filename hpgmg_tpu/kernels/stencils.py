@@ -119,8 +119,10 @@ def use_pallas(cfg: SolverConfig, level: Level, x=None) -> bool:
     "pallas" (force), "xla" (off)."""
     if getattr(cfg, "kernels", "auto") == "xla":
         return False
-    if cfg.helmholtz or cfg.bc not in (BC.DIRICHLET, BC.PERIODIC):
+    if cfg.bc not in (BC.DIRICHLET, BC.PERIODIC):
         return False
+    if cfg.helmholtz and getattr(level, "alpha", None) is None:
+        return False  # the a*alpha*u term needs the alpha operand
     if getattr(level, "kbi", None) is None:
         return False
     if getattr(level, "ksharded", False):
@@ -148,7 +150,7 @@ def use_pallas(cfg: SolverConfig, level: Level, x=None) -> bool:
 def kernel_views_eligible(cfg: SolverConfig, dim: int) -> bool:
     """Build-time gate for attaching the kernel coefficient views
     (rebuild_operator): BC + size supported by some Pallas path."""
-    if cfg.kernels == "xla" or cfg.helmholtz or dim < _MIN_DIM:
+    if cfg.kernels == "xla" or dim < _MIN_DIM:
         return False
     if cfg.bc == BC.DIRICHLET:
         return (tile_shape(dim) is not None if not SINGLE_EXT
@@ -247,6 +249,28 @@ def _lane_shift(core, glo, ghi, dk: int):
 # flux-form stencil
 # ---------------------------------------------------------------------------
 
+# Experiment flag (VERDICT r2 item 3): compute the j-axis (sublane)
+# slice-differences as banded matmuls on the MXU instead of VPU
+# roll+subtract passes — the GSRB kernel is VPU-bound with the MXU idle.
+# Measured on v5e (bench/kernel_sweep.py --mxu): see docs/MXU_JDIFF.md.
+MXU_JDIFF = False
+
+
+def _jdiff_dot(X, out_j: int, taps):
+    """Banded j-difference via MXU: returns D @ X per leading row, where
+    D[(out_j, X.shape[1])] has D[r, r+off] = coef for (off, coef) in taps.
+    X is (rows, in_j, n); result (rows, out_j, n)."""
+    dtype = X.dtype
+    in_j = X.shape[1]
+    r = lax.broadcasted_iota(jnp.int32, (out_j, in_j), 0)
+    c = lax.broadcasted_iota(jnp.int32, (out_j, in_j), 1)
+    D = jnp.zeros((out_j, in_j), dtype)
+    for off, coef in taps:
+        D = D + coef * (c == r + off).astype(dtype)
+    rows = [jnp.dot(D, X[i], preferred_element_type=dtype)
+            for i in range(X.shape[0])]
+    return jnp.stack(rows, axis=0)
+
 def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
              ebk, ebk_top, b: int, J: int):
     """fv4 A(u) in telescoping flux form (the reference's flux formulation,
@@ -287,7 +311,11 @@ def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
     cdi_ghi = (sl(xghi, 3, b + 3, 1, J + 3)
                - sl(xghi, 1, b + 1, 1, J + 3))[..., :1]
     # cdj[r, j, k] = x(j+1) - x(j-1),  i in [-1, b],  j in [0, J)
-    cdj = sl(xj, 1, b + 3, 3, J + 3) - sl(xj, 1, b + 3, 1, J + 1)
+    if MXU_JDIFF:
+        cdj = _jdiff_dot(sl(xj, 1, b + 3, 0, J + 4), J,
+                         [(3, 1.0), (1, -1.0)])
+    else:
+        cdj = sl(xj, 1, b + 3, 3, J + 3) - sl(xj, 1, b + 3, 1, J + 1)
     cdj_glo = (sl(xglo, 1, b + 3, 3, J + 3)
                - sl(xglo, 1, b + 3, 1, J + 1))[..., 1:]
     cdj_ghi = (sl(xghi, 1, b + 3, 3, J + 3)
@@ -312,15 +340,23 @@ def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
     ax = tf[1:] - tf[:-1]
 
     # ---- j faces: m in [0, J+1) ----
-    d1 = sl(xj, 2, b + 2, 2, J + 3) - sl(xj, 2, b + 2, 1, J + 2)
-    dbig = sl(xj, 2, b + 2, 3, J + 4) - sl(xj, 2, b + 2, 0, J + 1)
+    if MXU_JDIFF:
+        xjc = sl(xj, 2, b + 2, 0, J + 4)
+        d1 = _jdiff_dot(xjc, J + 1, [(2, 1.0), (1, -1.0)])
+        dbig = _jdiff_dot(xjc, J + 1, [(3, 1.0), (0, -1.0)])
+    else:
+        d1 = sl(xj, 2, b + 2, 2, J + 3) - sl(xj, 2, b + 2, 1, J + 2)
+        dbig = sl(xj, 2, b + 2, 3, J + 4) - sl(xj, 2, b + 2, 0, J + 1)
     bc = ebj[1:b + 1]
     gi = (ebj[2:] - ebj[:-2]) * (cdi[:, 1:, :] - cdi[:, :-1, :])
     gk = ((_lane_shift(bc, bj_glo[1:b + 1], bj_ghi[1:b + 1], 1)
            - _lane_shift(bc, bj_glo[1:b + 1], bj_ghi[1:b + 1], -1))
           * (cdk[1:b + 1, 1:] - cdk[1:b + 1, :-1]))
     tf = bc * (15.0 * d1 - dbig) + q * (gi + gk)            # (b, J+1, n)
-    ax = ax + tf[:, 1:, :] - tf[:, :-1, :]
+    if MXU_JDIFF:
+        ax = ax + _jdiff_dot(tf, J, [(1, 1.0), (0, -1.0)])
+    else:
+        ax = ax + tf[:, 1:, :] - tf[:, :-1, :]
 
     # ---- k faces: m in [0, n) in lanes + the top face plane ----
     xcc = sl(xj, 2, b + 2, 2, J + 2)                        # (b, J, n)
@@ -354,11 +390,14 @@ def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
 # ---------------------------------------------------------------------------
 
 def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
-                kperiodic=False):
+                kperiodic=False, a_alpha=0.0):
     """Shared fv4 stencil body on a (bi, bj, n) tile.
 
     mode: 'apply' -> Ax; 'residual' -> rhs - Ax;
           'gsrb' -> x + kdinv[parity] * (rhs - Ax)
+
+    a_alpha: Helmholtz coefficient ``a``; nonzero adds ``a*alpha*x`` with
+    an extra cell-centered ``alpha`` operand (operators.fv4.c:87 u-term).
 
     ext: the solution window is PRE-extended (the sharded path and the
     periodic single-chip path: radius-2 i/j ghosts — neighbor halos, BC
@@ -373,7 +412,10 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
     """
     xw_ref, bi_ref, bj_ref, bk_ref, bktop_ref = refs[:5]
     k = 5
-    rhs_ref = dinv_ref = None
+    rhs_ref = dinv_ref = alpha_ref = None
+    if a_alpha:
+        alpha_ref = refs[k]
+        k += 1
     if mode != "apply":
         rhs_ref = refs[k]
         k += 1
@@ -425,6 +467,8 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
     ax = (-b_h2inv / 12.0) * _flux_ax(
         xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
         ebk, ebk_top, bi, bj)
+    if a_alpha:
+        ax = ax + a_alpha * alpha_ref[...] * xj[2:2 + bi, 2:2 + bj, :]
 
     if mode == "apply":
         out_ref[...] = ax
@@ -447,9 +491,10 @@ def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
     nti, ntj = n // bi, n // bj
     # note: parity enters only through which kdinv field rides in `dinv` —
     # both half-sweeps share ONE compiled kernel
+    a_alpha = cfg.a if cfg.helmholtz else 0.0
     kernel = functools.partial(
         _fv4_kernel, n=n, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
-        b_h2inv=cfg.b * level.h2inv)
+        b_h2inv=cfg.b * level.h2inv, a_alpha=a_alpha)
 
     E = pl.Element
 
@@ -476,6 +521,9 @@ def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
     ]
     args = [x, level.kbi, level.kbj, level.kbk, level.kbk_top]
     tile_spec = pl.BlockSpec((bi, bj, n), lambda ti, tj: (ti, tj, 0))
+    if a_alpha:
+        in_specs.append(tile_spec)
+        args.append(level.alpha)
     if mode != "apply":
         in_specs.append(tile_spec)
         args.append(rhs)
@@ -516,7 +564,8 @@ def tile_shape_local(ni: int, nj: int, nk: int):
 
 
 def fv4_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
-                 b_h2inv: float, kperiodic: bool = False):
+                 b_h2inv: float, kperiodic: bool = False,
+                 a_alpha: float = 0.0, alpha=None):
     """Pallas call on ONE shard's pre-extended block (the shard_map body of
     the distributed fast path, parallel/shard_kernels.py).
 
@@ -533,7 +582,7 @@ def fv4_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
     nti, ntj = ni // bi, nj // bj
     kernel = functools.partial(
         _fv4_kernel, n=nk, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
-        b_h2inv=b_h2inv, ext=True, kperiodic=kperiodic)
+        b_h2inv=b_h2inv, ext=True, kperiodic=kperiodic, a_alpha=a_alpha)
 
     E = pl.Element
 
@@ -549,6 +598,9 @@ def fv4_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
     ]
     args = [x_ext, kbi, kbj, kbk, kbk_top]
     tile_spec = pl.BlockSpec((bi, bj, nk), lambda ti, tj: (ti, tj, 0))
+    if a_alpha:
+        in_specs.append(tile_spec)
+        args.append(alpha)
     if mode != "apply":
         in_specs.append(tile_spec)
         args.append(rhs)
@@ -591,7 +643,9 @@ def _fv4_call_single_ext(level: Level, x, rhs, dinv, cfg: SolverConfig,
     xe = _extend_ij_single(x, cfg.bc)
     return fv4_call_ext(xe, level.kbi, level.kbj, level.kbk, level.kbk_top,
                         rhs, dinv, mode, cfg.b * level.h2inv,
-                        kperiodic=cfg.bc == BC.PERIODIC)
+                        kperiodic=cfg.bc == BC.PERIODIC,
+                        a_alpha=cfg.a if cfg.helmholtz else 0.0,
+                        alpha=level.alpha)
 
 
 # Dirichlet single-chip A/B switch: masked in-kernel ghost synthesis

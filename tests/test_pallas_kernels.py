@@ -173,3 +173,32 @@ def test_periodic_fcycle_matches_xla(setup_periodic):
     assert float(r_out) / float(f_out) < 2e-3
     np.testing.assert_allclose(np.asarray(u_out), np.asarray(u_ref),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_helmholtz_matches_xla():
+    """Helmholtz (a*alpha*u + divergence term) through the kernel with the
+    extra alpha operand vs the XLA path (operators.fv4.c:87 u-term;
+    previously a silent ~2x fallback)."""
+    K.INTERPRET = True
+    cfg = SolverConfig(op="fv4", a=1.0, b=1.0, helmholtz=True,
+                       dtype=jnp.float64, kernels="pallas")
+    prob = init_problem_fv(32, dtype=jnp.float64)
+    alpha = 1.0 + 0.1 * jnp.asarray(
+        np.random.default_rng(2).standard_normal((32, 32, 32)))
+    hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
+                           alpha=alpha)
+    op = get_suite("fv4")
+    lv = hier.levels[0]
+    assert lv.kbi is not None
+    assert K.use_pallas(cfg, lv)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((32, 32, 32)))
+    ref = op.apply_op(lv, x, dataclasses_xla(cfg))
+    out = K.fv4_apply_pallas(lv, x, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-10)
+    ax = op.apply_op(lv, x, dataclasses_xla(cfg))
+    rhs = prob.f
+    ref_g = x + rb_mask(32, 0, x.dtype) * lv.dinv * (rhs - ax)
+    out_g = K.fv4_gsrb_sweep_pallas(lv, x, rhs, cfg, 0)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g),
+                               rtol=1e-12, atol=1e-12)
