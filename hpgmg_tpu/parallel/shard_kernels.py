@@ -58,7 +58,7 @@ def sharded_kernel_eligible(mesh: Mesh, dim: int, cfg: SolverConfig) -> bool:
 
     if getattr(cfg, "kernels", "auto") == "xla":
         return False
-    if cfg.helmholtz or cfg.bc != BC.DIRICHLET:
+    if cfg.helmholtz or cfg.bc not in (BC.DIRICHLET, BC.PERIODIC):
         return False
     if mesh.shape["z"] != 1:
         return False
@@ -107,34 +107,42 @@ def _bc_slab(xl, axis: int, lo: bool):
     return jnp.concatenate([g2, g1] if lo else [g1, g2], axis=axis)
 
 
-def _extend_axis_sharded(xl, name: str, axis: int, mesh: Mesh):
+def _extend_axis_sharded(xl, name: str, axis: int, mesh: Mesh,
+                         periodic: bool = False):
     """Extend one sharded axis by 2 ghosts: neighbor halos via ppermute,
-    physical boundaries via the v4 fill. Applied i-then-j so edge ghosts
+    physical boundaries via the v4 fill — or, for periodic, the ring
+    permute's wrap-around IS the boundary condition (the opposite domain
+    face arrives from the ring neighbor). Applied i-then-j so edge ghosts
     arrive transitively (the NO_CORNERS schedule, level.c:499-531)."""
     n_sh = mesh.shape[name]
-    bc_lo = _bc_slab(xl, axis, lo=True)
-    bc_hi = _bc_slab(xl, axis, lo=False)
+    nl = xl.shape[axis]
     if n_sh == 1:
-        glo, ghi = bc_lo, bc_hi
+        if periodic:
+            glo = lax.slice_in_dim(xl, nl - 2, nl, axis=axis)
+            ghi = lax.slice_in_dim(xl, 0, 2, axis=axis)
+        else:
+            glo = _bc_slab(xl, axis, lo=True)
+            ghi = _bc_slab(xl, axis, lo=False)
     else:
-        nl = xl.shape[axis]
         lo_face = lax.slice_in_dim(xl, 0, 2, axis=axis)
         hi_face = lax.slice_in_dim(xl, nl - 2, nl, axis=axis)
         fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
         bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
         glo = lax.ppermute(hi_face, name, fwd)  # from my -1 neighbor
         ghi = lax.ppermute(lo_face, name, bwd)  # from my +1 neighbor
-        idx = lax.axis_index(name)
-        glo = jnp.where(idx == 0, bc_lo, glo)
-        ghi = jnp.where(idx == n_sh - 1, bc_hi, ghi)
+        if not periodic:
+            idx = lax.axis_index(name)
+            glo = jnp.where(idx == 0, _bc_slab(xl, axis, lo=True), glo)
+            ghi = jnp.where(idx == n_sh - 1, _bc_slab(xl, axis, lo=False),
+                            ghi)
     return jnp.concatenate([glo, xl, ghi], axis=axis)
 
 
-def extend_for_kernel(xl, mesh: Mesh):
+def extend_for_kernel(xl, mesh: Mesh, periodic: bool = False):
     """(nli, nlj, nk) local block -> (nli+4, nlj+16, nk) pre-extended array
     in the kernel's j-padded layout (live extended j rows at [6, nlj+10))."""
-    xe = _extend_axis_sharded(xl, "x", 0, mesh)
-    xe = _extend_axis_sharded(xe, "y", 1, mesh)
+    xe = _extend_axis_sharded(xl, "x", 0, mesh, periodic)
+    xe = _extend_axis_sharded(xe, "y", 1, mesh, periodic)
     return jnp.pad(xe, ((0, 0), (6, 6), (0, 0)))
 
 
@@ -147,6 +155,7 @@ def fv4_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
     """One distributed fv4 kernel application (apply / residual / one GSRB
     half-sweep): exchange-then-stencil in a single shard_map region."""
     b_h2inv = cfg.b * level.h2inv
+    periodic = cfg.bc == BC.PERIODIC
     args = [x, level.kbi, level.kbj, level.kbk, level.kbk_top]
     if mode != "apply":
         args.append(rhs)
@@ -159,9 +168,9 @@ def fv4_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
 
         rhsl = rest[0] if mode != "apply" else None
         dl = rest[1] if mode == "gsrb" else None
-        xe = extend_for_kernel(xl, mesh)
+        xe = extend_for_kernel(xl, mesh, periodic)
         return fv4_call_ext(xe, kbi, kbj, kbk, kbktop, rhsl, dl, mode,
-                            b_h2inv)
+                            b_h2inv, kperiodic=periodic)
 
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
     # annotation, which the checker (jax >= 0.7) would reject

@@ -128,3 +128,32 @@ def test_sharded_fcycle_matches_serial_pallas(interpret):
     assert float(r_par) / float(f_par) < 2e-3
     np.testing.assert_allclose(np.asarray(u_par), np.asarray(u_ser),
                                rtol=1e-11, atol=1e-13)
+
+
+@requires_8dev
+def test_sharded_periodic_gsrb_matches_xla(interpret):
+    """Periodic BCs on the mesh: the ring ppermute's wrap-around IS the
+    boundary condition — one GSRB smooth sharded-Pallas vs XLA wrap."""
+    from hpgmg_tpu.core.config import BC
+
+    cfg = SolverConfig(op="fv4", a=0.0, dtype=jnp.float64,
+                       kernels="pallas", bc=BC.PERIODIC)
+    cfg_xla = SolverConfig(op="fv4", a=0.0, dtype=jnp.float64,
+                           kernels="xla", bc=BC.PERIODIC)
+    prob = init_problem_fv(64, dtype=jnp.float64, periodic=True)
+    hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg)
+    op = get_suite(cfg.op)
+    lv = hier.levels[0]
+    x = prob.f / (1.0 + jnp.max(jnp.abs(prob.f)))
+    ref = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg_xla))(
+        lv, x, prob.f)
+
+    mesh = make_mesh_ij()
+    hier_s = shard_hierarchy(mesh, hier, cfg)
+    assert hier_s.levels[0].ksharded
+    with active_mesh(mesh):
+        out = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg))(
+            hier_s.levels[0], shard_array(mesh, x),
+            shard_array(mesh, prob.f))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-12, atol=5e-13)
