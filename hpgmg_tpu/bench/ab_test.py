@@ -37,7 +37,8 @@ def _maxrel(a, b):
     return float(jnp.max(jnp.abs(a - b))) / (scale or 1.0)
 
 
-def run_ab(n: int, dtype=jnp.float32, periodic: bool = False):
+def run_ab(n: int, dtype=jnp.float32, periodic: bool = False,
+           opname: str = "fv4"):
     import hpgmg_tpu.kernels.stencils as K
     from hpgmg_tpu.core.config import BC, BottomSolver, SolverConfig
     from hpgmg_tpu.core.hierarchy import build_hierarchy
@@ -46,11 +47,14 @@ def run_ab(n: int, dtype=jnp.float32, periodic: bool = False):
     from hpgmg_tpu.solve.mg import fmg_solve
 
     bc = BC.PERIODIC if periodic else BC.DIRICHLET
+    assert not (periodic and opname != "fv4"), \
+        "periodic kernels: fv4 only (radius-1 suites fall back to XLA)"
     mk = lambda kernels: SolverConfig(  # noqa: E731
-        op="fv4", a=0.0, b=1.0, bc=bc, bottom=BottomSolver.DIRECT,
+        op=opname, a=1.0 if opname == "27pt" else 0.0, b=1.0, bc=bc,
+        bottom=BottomSolver.DIRECT,
         min_coarse_dim=8, dtype=dtype, kernels=kernels)
     cfg_x, cfg_p = mk("xla"), mk("pallas")
-    op = get_suite("fv4")
+    op = get_suite(opname)
 
     prob = init_problem_fv(n, dtype=dtype, periodic=periodic)
     hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg_p)
@@ -65,11 +69,17 @@ def run_ab(n: int, dtype=jnp.float32, periodic: bool = False):
     ref_u, ref_r, ref_f = jax.jit(
         lambda h, f: fmg_solve(op, h, f, cfg_x))(hier, f)
 
-    paths = [("pallas", False)] if periodic else [
-        ("pallas", False), ("pallas-ext", True)]
+    if opname != "fv4":
+        # radius-1 family: one Dirichlet masked path (no ext variant)
+        paths = [("pallas", None)]
+    elif periodic:
+        paths = [("pallas", False)]
+    else:
+        paths = [("pallas", False), ("pallas-ext", True)]
     for name, ext in paths:
         old = K.SINGLE_EXT
-        K.SINGLE_EXT = ext
+        if ext is not None:
+            K.SINGLE_EXT = ext
         try:
             d_apply = _maxrel(jax.jit(
                 lambda lv, x: op.apply_op(lv, x, cfg_p))(lv0, x0), ref_apply)
@@ -100,12 +110,15 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--sizes", type=int, nargs="+", default=[64, 128, 256])
     p.add_argument("--periodic", action="store_true")
+    p.add_argument("--op", default="fv4",
+                   choices=["fv4", "fv7pt", "fv2", "27pt"])
     args = p.parse_args(argv)
-    print(f"backend={jax.default_backend()} devices={jax.devices()}")
+    print(f"backend={jax.default_backend()} devices={jax.devices()} "
+          f"op={args.op}")
     tol = 2e-5  # f32 roundoff between algebraically-equal formulations
     ok = True
     for n in args.sizes:
-        res = run_ab(n, periodic=args.periodic)
+        res = run_ab(n, periodic=args.periodic, opname=args.op)
         for name, d in res.items():
             # gate on per-mode parity + identical convergence (the
             # reference's criterion, operators.test.c); fcycle_u is

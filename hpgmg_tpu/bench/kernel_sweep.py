@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 
 def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
-                mxu: bool = False) -> float:
+                mxu: bool = False, opname: str = "fv4",
+                kernels: str = "auto") -> float:
     """Seconds per HALF-sweep."""
     import hpgmg_tpu.kernels.stencils as K
     from hpgmg_tpu.core.config import BottomSolver, SolverConfig
@@ -37,14 +38,15 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
     from hpgmg_tpu.problems.fv import init_problem_fv
     from hpgmg_tpu.solve.smoothers import gsrb
 
-    cfg = SolverConfig(op="fv4", a=0.0, b=1.0, dtype=dtype,
+    cfg = SolverConfig(op=opname, a=1.0 if opname == "27pt" else 0.0,
+                       b=1.0, dtype=dtype, kernels=kernels,
                        bottom=BottomSolver.DIRECT, min_coarse_dim=8)
     prob = init_problem_fv(n, dtype=dtype)
     hier = slim_hierarchy(
         build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg), cfg)
     lv, f = hier.levels[0], prob.f
     del prob, hier
-    op = get_suite("fv4")
+    op = get_suite(opname)
 
     old = K.SINGLE_EXT
     old_mxu = K.MXU_JDIFF
@@ -66,7 +68,8 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
     finally:
         K.SINGLE_EXT = old
         K.MXU_JDIFF = old_mxu
-    return dt / (reps * 6)
+    nhalf = 2 * cfg.resolved_num_smooths(op)
+    return dt / (reps * nhalf)
 
 
 def main(argv=None):
@@ -75,8 +78,20 @@ def main(argv=None):
     p.add_argument("--reps", type=int, default=50)
     p.add_argument("--mxu", action="store_true",
                    help="also time the MXU j-difference kernel variant")
+    p.add_argument("--op", default="fv4",
+                   choices=["fv4", "fv7pt", "fv2", "27pt"])
     args = p.parse_args(argv)
-    print(f"backend={jax.default_backend()}")
+    print(f"backend={jax.default_backend()} op={args.op}")
+    if args.op != "fv4":
+        # radius-1 family: Pallas masked kernel vs the XLA path
+        for n in args.sizes:
+            t_k = time_sweeps(n, ext=False, reps=args.reps, opname=args.op,
+                              kernels="pallas")
+            t_x = time_sweeps(n, ext=False, reps=args.reps, opname=args.op,
+                              kernels="xla")
+            print(f"n={n:4d} pallas {t_k * 1e6:8.1f} us/half-sweep | "
+                  f"xla {t_x * 1e6:8.1f} us | xla/pallas {t_x / t_k:5.2f}")
+        return 0
     for n in args.sizes:
         t_mask = time_sweeps(n, ext=False, reps=args.reps)
         t_ext = time_sweeps(n, ext=True, reps=args.reps)

@@ -130,14 +130,15 @@ def slim_hierarchy(hier: Hierarchy, cfg: SolverConfig) -> Hierarchy:
     views are rebuilt from the beta views).
     """
     from hpgmg_tpu.core.config import Smoother
-    from hpgmg_tpu.kernels.stencils import use_pallas
+    from hpgmg_tpu.ops.base import get_suite
 
+    op = get_suite(cfg.op)
     new_levels = []
     for i, lv in enumerate(hier.levels):
         kw = {}
         if cfg.smoother != Smoother.L1JACOBI:
             kw["l1inv"] = None
-        if use_pallas(cfg, lv) and i < len(hier.levels) - 1:
+        if op.kernel_active(cfg, lv) and i < len(hier.levels) - 1:
             kw.update(beta_i=None, beta_j=None, beta_k=None)
             if cfg.smoother == Smoother.GSRB:
                 kw["dinv"] = None

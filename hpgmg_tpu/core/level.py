@@ -69,6 +69,12 @@ class Level:
     # (parallel/shard_kernels.py) rather than single-chip global views
     ksharded: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # static: which kernel family the k* views above are laid out for —
+    # None = the fv4 layouts of kernels/stencils.py (historical default);
+    # "var7"/"27pt" = the radius-1 layouts of kernels/stencils_r1.py.
+    # Keeps the radius-1 gates from misreading fv4-layout views.
+    kernel_suite: Optional[str] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def shape(self):

@@ -125,6 +125,8 @@ def use_pallas(cfg: SolverConfig, level: Level, x=None) -> bool:
         return False  # the a*alpha*u term needs the alpha operand
     if getattr(level, "kbi", None) is None:
         return False
+    if getattr(level, "kernel_suite", None) is not None:
+        return False  # the views are radius-1 layouts (stencils_r1.py)
     if getattr(level, "ksharded", False):
         # per-shard stacked views: only the distributed path
         # (parallel/shard_kernels.py) can read them

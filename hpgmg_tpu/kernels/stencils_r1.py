@@ -1,0 +1,371 @@
+"""Pallas TPU kernels for the radius-1 operator suites (fv7pt, fv2, 27pt).
+
+The three 2nd-order suites share one radius-1 stencil shape: a 7-point
+variable-coefficient flux stencil (operators.7pt.c:52-76 = operators.fv2.c
+:55-92 — same stencil, different BCs/rebuild) or the dense 27-point
+constant-coefficient Mehrstellen stencil (operators.27pt.c:48-92). Their
+XLA paths materialize a (n+2)^3 ghost-extended solution per application
+(ops/bc.py / ops/bc_fv.py), which costs a full extra read+write of the
+solution plus lane padding (n+2 lanes round up to the next multiple of
+128: 2x wasted bytes at 128^3, 1.25x at 512^3).
+
+This file is the radius-1 analog of the fv4 kernel family
+(kernels/stencils.py, phase-3 design) and reuses its proven machinery:
+
+* 2D (i, j) tile grid; k (lanes) spans the level.
+* **Masked in-kernel ghost synthesis** (measured faster than pre-extended
+  operands at every size for fv4 — docs/MXU_JDIFF.md): the Dirichlet
+  ghost is a 2-tap function of the rows nearest the face, with per-suite
+  taps ``g = t1*x1 + t2*x2``:
+    - fv7pt: linear odd reflection  t = (-1, 0)       (boundary_fd.c:6-92)
+    - fv2:   quadratic volume-avg   t = (-5/2, 1/2)   (boundary_fv.c:101)
+    - 27pt:  quadratic cell-center  t = (-2, 1/3)     (boundary_fd.c:130)
+  applied separably i -> j -> k exactly like the XLA ghost fills (the
+  tensor-product edge/corner values the 27pt stencil reads arise from the
+  sequential per-axis application).
+* **Lane-aligned coefficient views** for the variable-beta suites: the
+  radius-1 flux needs NO tangential coefficient ghosts (every face it
+  reads is in-domain), so ``kbi`` is beta_i as-is (n+1, n, n), ``kbj``
+  pads the j (sublane) face axis n+1 -> n+8 so fixed 8-aligned windows
+  cover it, and the k faces split into low-face cube + top plane
+  (``kbk``/``kbk_top``) to keep the lane dim exactly n.
+* **GSRB_FP parity pre-folding**: the red/black mask rides in which
+  ``kdinv`` field is passed (gsrb.c:78-87 done at MGBuild time).
+
+Unsupported here (XLA fallback): periodic BCs (wrap ghosts live on the
+opposite domain face, outside any local window), sharded levels, dims not
+tileable below.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hpgmg_tpu.core.config import BC, SolverConfig
+from hpgmg_tpu.core.level import Level
+from hpgmg_tpu.kernels import stencils as _s
+from hpgmg_tpu.kernels.stencils import _lane_shift
+
+# 27pt weights (operators.27pt.c:48-92)
+_C0 = -128.0 / 30.0
+_C1 = 14.0 / 30.0
+_C2 = 3.0 / 30.0
+_C3 = 1.0 / 30.0
+
+
+def _vmem_bytes_r1(n: int, bi: int, bj: int, var7: bool) -> int:
+    """Rough f32 VMEM footprint of one (bi, bj) tile (see stencils.py)."""
+    ln = -(-n // 128) * 128
+    win = (bi + 2) * (bj + 16) * ln + 3 * bi * bj * ln
+    if var7:
+        win += (bi + 1) * bj * ln + bi * (bj + 8) * ln + bi * bj * ln
+    tmp = 6 * (bi + 2) * (bj + 2) * ln
+    return 4 * (2 * win + tmp)
+
+
+def tile_shape_r1(n: int, var7: bool = True):
+    """(bi, bj) for the radius-1 2D tile grid. Same constraints as the fv4
+    ``tile_shape``: bj a multiple of 8 dividing n with >= 2 tiles and an
+    n >= bj+16 window; bi any divisor with >= 2 tiles; prefer the largest
+    tile under the VMEM budget, ties toward wider bj (measured faster)."""
+    best = None
+    for bj in (64, 48, 32, 24, 16, 8):
+        if n % bj or n // bj < 2 or n < bj + 16:
+            continue
+        for bi in (64, 32, 16, 8, 4):
+            if n % bi or n // bi < 2:
+                continue
+            if _vmem_bytes_r1(n, bi, bj, var7) > _s._VMEM_BUDGET:
+                continue
+            key = (bi * bj, bj)
+            if best is None or key > best[0]:
+                best = (key, (bi, bj))
+    return best[1] if best else None
+
+
+def use_pallas_r1(cfg: SolverConfig, level: Level) -> bool:
+    """Select the radius-1 Pallas path: kernel views attached by the
+    suite's rebuild_operator (``level.kernel_suite`` set), Dirichlet,
+    supported size, TPU backend (or interpreter in tests)."""
+    if getattr(cfg, "kernels", "auto") == "xla":
+        return False
+    if cfg.bc != BC.DIRICHLET:
+        return False
+    suite = getattr(level, "kernel_suite", None)
+    if suite not in ("var7", "27pt"):
+        return False
+    if getattr(level, "ksharded", False):
+        return False
+    if cfg.helmholtz and suite == "var7" and level.alpha is None:
+        return False
+    if level.dim < _s._MIN_DIM:
+        return False
+    if tile_shape_r1(level.dim, suite == "var7") is None:
+        return False
+    if (getattr(cfg, "kernels", "auto") != "pallas"
+            and level.dim < _s._AUTO_MIN_DIM):
+        return False
+    if _s.INTERPRET:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def r1_views_eligible(cfg: SolverConfig, dim: int, var7: bool) -> bool:
+    """Build-time gate for attaching radius-1 kernel views."""
+    return (cfg.kernels != "xla" and cfg.bc == BC.DIRICHLET
+            and dim >= _s._MIN_DIM and tile_shape_r1(dim, var7) is not None)
+
+
+def r1_beta_views(beta_i, beta_j, beta_k):
+    """Kernel-layout views of the UNEXTENDED face coefficients (the
+    radius-1 flux reads no out-of-domain faces):
+
+    kbi (n+1, n, n): natural layout (i is the unconstrained leading axis)
+    kbj (n, n+8, n): j face axis padded n+1 -> n+8 so the (bj+8)-row
+        window at 8-aligned offset tj*bj stays in bounds on the last tile
+    kbk (n, n, n) + kbk_top (n, n, 1): low k-faces + top plane (a lane dim
+        of n+1 would pad ~2x; high face of cell k = low face of cell k+1,
+        one in-kernel lane shift)
+    """
+    n = beta_i.shape[1]
+    kbj = jnp.pad(beta_j, ((0, 0), (0, 7), (0, 0)))
+    kbk = beta_k[:, :, :-1]
+    kbk_top = beta_k[:, :, -1:]
+    assert kbj.shape == (n, n + 8, n)
+    return beta_i, kbj, kbk, kbk_top
+
+
+# ---------------------------------------------------------------------------
+# in-kernel radius-1 boundary extension
+# ---------------------------------------------------------------------------
+
+def _ghost_row(w, axis: int, lo: bool, taps):
+    t1, t2 = taps
+    m = w.shape[axis]
+    i1, i2 = (0, 1) if lo else (m - 1, m - 2)
+    g = t1 * lax.slice_in_dim(w, i1, i1 + 1, axis=axis)
+    if t2:
+        g = g + t2 * lax.slice_in_dim(w, i2, i2 + 1, axis=axis)
+    return g
+
+
+def _ext_tile_axis_r1(w, b: int, t, nt: int, axis: int, pad: int, taps):
+    """Radius-1 analog of stencils._ext_tile_axis: turn a clamped halo
+    window (b + 2*pad rows along ``axis``) into the boundary-extended tile
+    (b + 2 rows). Interior tiles slice out the +-1 halo; first/last tiles
+    synthesize the domain-edge ghost with the 2-tap Dirichlet formula.
+    Candidates combine with exact 0/1 scalar masks (Mosaic cannot legalize
+    the scalar-predicate vector selects a lax.switch lowers to)."""
+    def sl(lo, hi):
+        return lax.slice_in_dim(w, lo, hi, axis=axis)
+
+    first = jnp.concatenate([_ghost_row(w, axis, True, taps),
+                             sl(0, b + 1)], axis)
+    m = b + 2 * pad
+    last = jnp.concatenate([sl(m - (b + 1), m),
+                            _ghost_row(w, axis, False, taps)], axis)
+    mid = sl(pad - 1, pad + b + 1)
+    mf = (t == 0).astype(w.dtype)
+    ml = (t == nt - 1).astype(w.dtype)
+    return mf * first + (1.0 - mf - ml) * mid + ml * last
+
+
+def _lane_ghosts(xe, taps):
+    """1-column k (lane) Dirichlet ghosts of an extended tile; the k axis
+    spans the level so every tile holds both domain faces."""
+    t1, t2 = taps
+    n = xe.shape[-1]
+    glo = t1 * xe[..., 0:1]
+    ghi = t1 * xe[..., n - 1:n]
+    if t2:
+        glo = glo + t2 * xe[..., 1:2]
+        ghi = ghi + t2 * xe[..., n - 2:n - 1]
+    return glo, ghi
+
+
+# ---------------------------------------------------------------------------
+# kernel body
+# ---------------------------------------------------------------------------
+
+def _r1_kernel(*refs, n, bi, bj, nti, ntj, mode, suite, taps, b_h2inv,
+               a_alpha, const_a):
+    """Shared radius-1 stencil body on a (bi, bj, n) tile.
+
+    mode: 'apply' -> Ax; 'residual' -> rhs - Ax;
+          'gsrb' -> x + kdinv[parity] * (rhs - Ax)
+    suite: 'var7' (7-point variable-beta flux — fv7pt/fv2) or '27pt'
+    a_alpha: var7 Helmholtz coefficient (adds a*alpha*x, alpha operand)
+    const_a: 27pt's constant a*x term (operators.27pt.c:92, no operand)
+    """
+    xw_ref = refs[0]
+    k = 1
+    bi_ref = bj_ref = bk_ref = bktop_ref = None
+    if suite == "var7":
+        bi_ref, bj_ref, bk_ref, bktop_ref = refs[1:5]
+        k = 5
+    rhs_ref = dinv_ref = alpha_ref = None
+    if a_alpha:
+        alpha_ref = refs[k]
+        k += 1
+    if mode != "apply":
+        rhs_ref = refs[k]
+        k += 1
+    if mode == "gsrb":
+        dinv_ref = refs[k]
+        k += 1
+    out_ref = refs[k]
+
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+
+    # separable boundary extension, same axis order as the XLA ghost
+    # fills: i (from interior), then j (reads the i-ghost rows, producing
+    # the tensor-product edge values the 27pt stencil reads)
+    xi = _ext_tile_axis_r1(xw_ref[...], bi, ti, nti, 0, 1, taps)
+    xe = _ext_tile_axis_r1(xi, bj, tj, ntj, 1, 8, taps)  # (bi+2, bj+2, n)
+
+    c = xe[1:1 + bi, 1:1 + bj, :]
+
+    if suite == "var7":
+        glo, ghi = _lane_ghosts(c, taps)
+        xm_k = _lane_shift(c, glo, ghi, -1)
+        xp_k = _lane_shift(c, glo, ghi, 1)
+        ebi = bi_ref[...]                      # (bi+1, bj, n)
+        ebj = bj_ref[:, 0:bj + 1, :]           # (bi, bj+1, n)
+        ebk = bk_ref[...]                      # (bi, bj, n) low faces
+        ebk_hi = _lane_shift(ebk, None, bktop_ref[...], 1)
+        lap = (
+            ebi[1:] * (xe[2:2 + bi, 1:1 + bj, :] - c)
+            + ebi[:bi] * (xe[0:bi, 1:1 + bj, :] - c)
+            + ebj[:, 1:, :] * (xe[1:1 + bi, 2:2 + bj, :] - c)
+            + ebj[:, :bj, :] * (xe[1:1 + bi, 0:bj, :] - c)
+            + ebk_hi * (xp_k - c)
+            + ebk * (xm_k - c)
+        )
+        ax = -b_h2inv * lap
+        if a_alpha:
+            ax = ax + a_alpha * alpha_ref[...] * c
+    else:  # dense 27pt, constant coefficient
+        glo, ghi = _lane_ghosts(xe, taps)
+        xkm = _lane_shift(xe, glo, ghi, -1)
+        xkp = _lane_shift(xe, glo, ghi, 1)
+
+        def p(a, di, dj):
+            return a[1 + di:1 + di + bi, 1 + dj:1 + dj + bj, :]
+
+        face = edge = corner = None
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                for src, dk in ((xkm, -1), (xe, 0), (xkp, 1)):
+                    m = abs(di) + abs(dj) + abs(dk)
+                    if m == 0:
+                        continue
+                    t = p(src, di, dj)
+                    if m == 1:
+                        face = t if face is None else face + t
+                    elif m == 2:
+                        edge = t if edge is None else edge + t
+                    else:
+                        corner = t if corner is None else corner + t
+        lap = _C0 * c + _C1 * face + _C2 * edge + _C3 * corner
+        ax = const_a * c - b_h2inv * lap
+
+    if mode == "apply":
+        out_ref[...] = ax
+        return
+    if mode == "residual":
+        out_ref[...] = rhs_ref[...] - ax
+        return
+    out_ref[...] = c + dinv_ref[...] * (rhs_ref[...] - ax)
+
+
+def _r1_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str,
+             taps_key: str):
+    n = level.dim
+    suite = level.kernel_suite
+    taps = _TAPS[taps_key]
+    var7 = suite == "var7"
+    bi, bj = tile_shape_r1(n, var7)
+    nti, ntj = n // bi, n // bj
+    a_alpha = (cfg.a if cfg.helmholtz else 0.0) if var7 else 0.0
+    const_a = cfg.a if not var7 else 0.0
+    kernel = functools.partial(
+        _r1_kernel, n=n, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
+        suite=suite, taps=taps, b_h2inv=cfg.b * level.h2inv,
+        a_alpha=a_alpha, const_a=const_a)
+
+    E = pl.Element
+
+    def xmap(ti, tj):
+        # sublane (j) window offsets must be PROVABLY x8 for Mosaic:
+        # clip in units of 8 and scale after (stencils.py xmap)
+        return (jnp.clip(ti * bi - 1, 0, n - bi - 2),
+                8 * jnp.clip(tj * (bj // 8) - 1, 0, (n - bj - 16) // 8), 0)
+
+    def bmap(ti, tj):
+        return (ti * bi, tj * bj, 0)
+
+    in_specs = [pl.BlockSpec((E(bi + 2), E(bj + 16), E(n)), xmap)]
+    args = [x]
+    if var7:
+        in_specs += [
+            pl.BlockSpec((E(bi + 1), E(bj), E(n)), bmap),
+            pl.BlockSpec((E(bi), E(bj + 8), E(n)), bmap),
+            pl.BlockSpec((E(bi), E(bj), E(n)), bmap),
+            pl.BlockSpec((E(bi), E(bj), E(1)), bmap),
+        ]
+        args += [level.kbi, level.kbj, level.kbk, level.kbk_top]
+    tile_spec = pl.BlockSpec((bi, bj, n), lambda ti, tj: (ti, tj, 0))
+    if a_alpha:
+        in_specs.append(tile_spec)
+        args.append(level.alpha)
+    if mode != "apply":
+        in_specs.append(tile_spec)
+        args.append(rhs)
+    if mode == "gsrb":
+        in_specs.append(tile_spec)
+        args.append(dinv)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nti, ntj),
+        in_specs=in_specs,
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct(level.shape, x.dtype),
+        compiler_params=None if _s.INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=_s._VMEM_LIMIT),
+        interpret=_s.INTERPRET,
+    )(*args)
+
+
+# Dirichlet ghost taps g = t1*x1 + t2*x2 per BC family (module docstring)
+_TAPS = {
+    "p1": (-1.0, 0.0),
+    "v2": (-2.5, 0.5),
+    "27pt": (-2.0, 1.0 / 3.0),
+}
+
+
+def r1_apply_pallas(level: Level, x, cfg: SolverConfig, taps_key: str):
+    return _r1_call(level, x, None, None, cfg, "apply", taps_key)
+
+
+def r1_residual_pallas(level: Level, x, rhs, cfg: SolverConfig,
+                       taps_key: str):
+    return _r1_call(level, x, rhs, None, cfg, "residual", taps_key)
+
+
+def r1_gsrb_sweep_pallas(level: Level, x, rhs, cfg: SolverConfig,
+                         parity: int, taps_key: str):
+    """One GSRB half-sweep, ghost fill fused into the stencil kernel."""
+    return _r1_call(level, x, rhs, level.kdinv[parity & 1], cfg, "gsrb",
+                    taps_key)

@@ -47,6 +47,83 @@ class OperatorSuite:
         """
         raise NotImplementedError
 
+    def kernel_active(self, cfg: SolverConfig, level: Level) -> bool:
+        """True when this suite's apply/residual/GSRB on ``level`` run
+        through a fused Pallas kernel (so the XLA-path ghost-extended
+        views are dead weight — see core/hierarchy.py:slim_hierarchy)."""
+        return False
+
+
+class RadiusOneKernelMixin:
+    """Shared Pallas fast-path wiring for the radius-1 suites
+    (kernels/stencils_r1.py). A suite mixes this in, sets ``taps_key``
+    (its Dirichlet ghost formula) and calls ``_attach_r1_views`` /
+    ``_attach_r1_kdinv`` from its ``rebuild_operator``; its ``apply_op``
+    starts with the ``use_pallas_r1`` gate."""
+
+    taps_key: str = "p1"
+    r1_var7: bool = True  # False: the dense 27pt body (no beta operands)
+
+    def kernel_active(self, cfg: SolverConfig, level: Level) -> bool:
+        from hpgmg_tpu.kernels.stencils_r1 import use_pallas_r1
+
+        return use_pallas_r1(cfg, level)
+
+    def residual(self, level: Level, x, rhs, cfg: SolverConfig):
+        from hpgmg_tpu.kernels.stencils_r1 import (r1_residual_pallas,
+                                                   use_pallas_r1)
+
+        if use_pallas_r1(cfg, level):
+            return r1_residual_pallas(level, x, rhs, cfg, self.taps_key)
+        return rhs - self.apply_op(level, x, cfg)
+
+    def gsrb_sweep(self, level: Level, x, rhs, cfg: SolverConfig,
+                   nsweeps: int):
+        """Fused GSRB half-sweeps (unrolled: parity is static per launch,
+        carried by which pre-masked kdinv field rides along)."""
+        from hpgmg_tpu.kernels.stencils_r1 import (r1_gsrb_sweep_pallas,
+                                                   use_pallas_r1)
+
+        if not use_pallas_r1(cfg, level) or level.kdinv is None:
+            return NotImplemented
+        for s in range(nsweeps):
+            x = r1_gsrb_sweep_pallas(level, x, rhs, cfg, s & 1,
+                                     self.taps_key)
+        return x
+
+    def _attach_r1_views(self, level: Level, cfg: SolverConfig) -> Level:
+        """Mark the level for the radius-1 kernels (and attach the
+        lane-aligned coefficient views for the variable-beta suites).
+        Call BEFORE any black-box probe loop so the probe applies run
+        in-kernel on eligible levels (the fv4 512^3 lesson — ops/fv4.py
+        rebuild_operator)."""
+        import dataclasses
+
+        from hpgmg_tpu.kernels.stencils_r1 import (r1_beta_views,
+                                                   r1_views_eligible)
+
+        if not r1_views_eligible(cfg, level.dim, self.r1_var7):
+            return level
+        if not self.r1_var7:
+            return dataclasses.replace(level, kernel_suite="27pt")
+        kbi, kbj, kbk, kbk_top = r1_beta_views(
+            level.beta_i, level.beta_j, level.beta_k)
+        return dataclasses.replace(level, kbi=kbi, kbj=kbj, kbk=kbk,
+                                   kbk_top=kbk_top, kernel_suite="var7")
+
+    def _attach_r1_kdinv(self, level: Level) -> Level:
+        """Fold the GSRB parity masks into dinv (GSRB_FP at build time);
+        call after the rebuild has populated ``dinv``."""
+        import dataclasses
+
+        from hpgmg_tpu.core.level import rb_mask
+
+        if level.kernel_suite is None or level.dinv is None:
+            return level
+        kdinv = tuple(rb_mask(level.dim, p, level.dinv.dtype) * level.dinv
+                      for p in (0, 1))
+        return dataclasses.replace(level, kdinv=kdinv)
+
 
 _REGISTRY: Dict[str, Callable[[], OperatorSuite]] = {}
 

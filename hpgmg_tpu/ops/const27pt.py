@@ -24,7 +24,7 @@ C3 = 1.0 / 30.0
 
 
 @base.register("27pt")
-class Const27pt(base.OperatorSuite):
+class Const27pt(base.RadiusOneKernelMixin, base.OperatorSuite):
     name = "27pt"
     radius = 1
     interpolation_vcycle = "p2"
@@ -32,8 +32,15 @@ class Const27pt(base.OperatorSuite):
     bc_order = 2
     gsrb_num_smooths = 2
     chebyshev_degree = 4
+    taps_key = "27pt"
+    r1_var7 = False
 
     def apply_op(self, level: Level, x: jax.Array, cfg: SolverConfig) -> jax.Array:
+        from hpgmg_tpu.kernels.stencils_r1 import (r1_apply_pallas,
+                                                   use_pallas_r1)
+
+        if use_pallas_r1(cfg, level):
+            return r1_apply_pallas(level, x, cfg, self.taps_key)
         n = level.dim
         xg = ghost_fill_quadratic_fd(x, cfg.bc, radius=1)
 
@@ -59,4 +66,9 @@ class Const27pt(base.OperatorSuite):
         return cfg.a * x - cfg.b * level.h2inv * lap
 
     def rebuild_operator(self, level: Level, cfg: SolverConfig) -> Level:
-        return rebuild_blackbox(self, level, cfg, colors=2)
+        # mark the level for the kernel BEFORE the probe loop (the dense
+        # 27pt body reads no coefficient operands, so the "views" are
+        # just the kernel_suite marker)
+        lv = self._attach_r1_views(level, cfg)
+        return self._attach_r1_kdinv(rebuild_blackbox(self, lv, cfg,
+                                                      colors=2))

@@ -23,7 +23,7 @@ from hpgmg_tpu.ops.rebuild import rebuild_blackbox
 
 
 @base.register("fv2")
-class FV2(base.OperatorSuite):
+class FV2(base.RadiusOneKernelMixin, base.OperatorSuite):
     name = "fv2"
     radius = 1
     interpolation_vcycle = "v2"
@@ -31,8 +31,14 @@ class FV2(base.OperatorSuite):
     bc_order = 2
     gsrb_num_smooths = 3
     chebyshev_degree = 4
+    taps_key = "v2"
 
     def apply_op(self, level: Level, x: jax.Array, cfg: SolverConfig) -> jax.Array:
+        from hpgmg_tpu.kernels.stencils_r1 import (r1_apply_pallas,
+                                                   use_pallas_r1)
+
+        if use_pallas_r1(cfg, level):
+            return r1_apply_pallas(level, x, cfg, self.taps_key)
         xg = ghost_fill_fv(x, cfg.bc, order=2, radius=1)
         ax = -cfg.b * level.h2inv * beta_laplacian(level, xg)
         if cfg.helmholtz:
@@ -40,4 +46,8 @@ class FV2(base.OperatorSuite):
         return ax
 
     def rebuild_operator(self, level: Level, cfg: SolverConfig) -> Level:
-        return rebuild_blackbox(self, level, cfg, colors=2)
+        # attach the kernel views BEFORE the probe loop so the colored
+        # probes run through the kernel on eligible levels
+        lv = self._attach_r1_views(level, cfg)
+        return self._attach_r1_kdinv(rebuild_blackbox(self, lv, cfg,
+                                                      colors=2))

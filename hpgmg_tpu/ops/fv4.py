@@ -142,6 +142,12 @@ class FV4(base.OperatorSuite):
             ax_out = cfg.a * level.alpha * sh() + ax_out
         return ax_out
 
+    def kernel_active(self, cfg: SolverConfig, level: Level) -> bool:
+        from hpgmg_tpu.kernels.stencils import use_pallas
+        from hpgmg_tpu.parallel.shard_kernels import use_pallas_sharded
+
+        return use_pallas(cfg, level) or use_pallas_sharded(cfg, level)
+
     def gsrb_sweep(self, level: Level, x, rhs, cfg: SolverConfig,
                    nsweeps: int):
         """Fused GSRB half-sweeps via the Pallas kernel (unrolled so the

@@ -65,14 +65,20 @@ def _valid_masks(n: int, bc: BC, dtype):
 
 
 @base.register("fv7pt")
-class FV7pt(base.OperatorSuite):
+class FV7pt(base.RadiusOneKernelMixin, base.OperatorSuite):
     name = "fv7pt"
     radius = 1
     interpolation_vcycle = "p0"
     interpolation_fcycle = "p1"
     bc_order = 1
+    taps_key = "p1"
 
     def apply_op(self, level: Level, x: jax.Array, cfg: SolverConfig) -> jax.Array:
+        from hpgmg_tpu.kernels.stencils_r1 import (r1_apply_pallas,
+                                                   use_pallas_r1)
+
+        if use_pallas_r1(cfg, level):
+            return r1_apply_pallas(level, x, cfg, self.taps_key)
         xg = ghost_fill_linear(x, cfg.bc, radius=1)
         ax = -cfg.b * level.h2inv * beta_laplacian(level, xg)
         if cfg.helmholtz:
@@ -113,4 +119,5 @@ class FV7pt(base.OperatorSuite):
         lam = jnp.max((aii + sum_abs) / aii)
         # Baker et al. eq 6.5 switch (operators.7pt.c:221-224)
         l1inv = jnp.where(aii >= 1.5 * sum_abs, 1.0 / aii, 1.0 / (aii + 0.5 * sum_abs))
-        return dataclasses.replace(level, dinv=dinv, l1inv=l1inv, lambda_max=lam)
+        lv = dataclasses.replace(level, dinv=dinv, l1inv=l1inv, lambda_max=lam)
+        return self._attach_r1_kdinv(self._attach_r1_views(lv, cfg))

@@ -180,7 +180,12 @@ def shard_hierarchy(mesh: Mesh, hier, cfg=None):
         kw = {}
         kviews = None
         if (cfg is not None and lv.kbi is not None and not replicated
+                and lv.kernel_suite is None
                 and sharded_kernel_eligible(mesh, lv.dim, cfg)):
+            # fv4-layout views only: the distributed fast path
+            # (parallel/shard_kernels.py) understands the fv4 window
+            # layout; radius-1 levels fall back to the XLA path when
+            # sharded (their views are dropped below)
             kbi, kbj, kbk, kbk_top, kdinv = build_sharded_views(mesh, lv)
             kviews = dict(kbi=kbi, kbj=kbj, kbk=kbk, kbk_top=kbk_top,
                           kdinv=kdinv, ksharded=True)
@@ -196,22 +201,24 @@ def shard_hierarchy(mesh: Mesh, hier, cfg=None):
                 kw[name] = jax.device_put(arr, NamedSharding(mesh, P()))
         if kviews is not None:
             kw.update(kviews)
-        elif replicated and lv.kbi is not None:
+        elif replicated and (lv.kbi is not None or lv.kdinv is not None):
             # coarse replicated level: keep the single-chip views, placed
             # replicated so each chip runs the kernel redundantly (the
-            # agglomeration analog)
+            # agglomeration analog). Covers both the fv4 and radius-1
+            # view layouts (the dense 27pt carries only kdinv).
             rep = NamedSharding(mesh, P())
-            kw.update(kbi=jax.device_put(lv.kbi, rep),
-                      kbj=jax.device_put(lv.kbj, rep),
-                      kbk=jax.device_put(lv.kbk, rep),
-                      kbk_top=jax.device_put(lv.kbk_top, rep),
-                      kdinv=tuple(jax.device_put(d, rep)
-                                  for d in lv.kdinv))
+            for name in ("kbi", "kbj", "kbk", "kbk_top"):
+                arr = getattr(lv, name)
+                if arr is not None:
+                    kw[name] = jax.device_put(arr, rep)
+            if lv.kdinv is not None:
+                kw["kdinv"] = tuple(jax.device_put(d, rep)
+                                    for d in lv.kdinv)
         else:
             # sharded level the kernels cannot serve: the single-chip views
             # would ride along as dead weight — drop them (XLA path)
             kw.update(kbi=None, kbj=None, kbk=None, kbk_top=None,
-                      kdinv=None)
+                      kdinv=None, kernel_suite=None)
         new_levels.append(dataclasses.replace(lv, **kw))
     return Hierarchy(levels=new_levels)
 

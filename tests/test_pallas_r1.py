@@ -1,0 +1,136 @@
+"""Radius-1 Pallas kernels (fv7pt / fv2 / 27pt) vs the XLA reference path.
+
+Interpreter-mode parity (CPU), mirroring tests/test_pallas_kernels.py for
+the fv4 family: edge vs interior tiles on both tiled axes, all GSRB
+parities, and a whole-solve identical-convergence smoke — the reference's
+operators.test.c A/B discipline applied to the 2nd-order suites.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hpgmg_tpu.kernels.stencils as K
+import hpgmg_tpu.kernels.stencils_r1 as K1
+from hpgmg_tpu.core.config import BC, SolverConfig
+from hpgmg_tpu.core.hierarchy import build_hierarchy
+from hpgmg_tpu.core.level import rb_mask
+from hpgmg_tpu.ops.base import get_suite
+from hpgmg_tpu.problems.fv import init_problem_fv
+
+SUITES = ["fv7pt", "fv2", "27pt"]
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    K.INTERPRET = True
+    yield
+    K.INTERPRET = False
+
+
+def xla_cfg(cfg):
+    return dataclasses.replace(cfg, kernels="xla")
+
+
+@pytest.fixture(scope="module", params=SUITES)
+def setup(request):
+    name = request.param
+    cfg = SolverConfig(op=name, a=1.0 if name == "27pt" else 0.0,
+                       dtype=jnp.float64)
+    # n=48 -> (16, 24) tiles: first/interior/last i tiles, first/last j
+    prob = init_problem_fv(48, dtype=jnp.float64)
+    hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
+                           alpha=prob.alpha)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((48, 48, 48)))
+    return cfg, prob, hier, get_suite(name), x
+
+
+def test_views_and_gating(setup):
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    assert lv.kernel_suite == ("27pt" if op.name == "27pt" else "var7")
+    assert lv.kdinv is not None
+    if op.name != "27pt":
+        n = lv.dim
+        assert lv.kbi.shape == (n + 1, n, n)
+        assert lv.kbj.shape == (n, n + 8, n)
+        assert lv.kbk.shape == (n, n, n)
+        assert lv.kbk_top.shape == (n, n, 1)
+    # auto applies the >=64 floor at 48^3; forcing selects the kernel
+    assert not K1.use_pallas_r1(cfg, lv)
+    assert K1.use_pallas_r1(dataclasses.replace(cfg, kernels="pallas"), lv)
+    assert not K1.use_pallas_r1(xla_cfg(cfg), lv)
+    # the fv4 gate must not misread radius-1 views
+    assert not K.use_pallas(dataclasses.replace(cfg, kernels="pallas"), lv)
+    # tiny levels never get the kernel marker
+    assert all(l.kernel_suite is None for l in hier.levels
+               if l.dim < K._MIN_DIM)
+
+
+def test_apply_matches_xla(setup):
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    ref = op.apply_op(lv, x, xla_cfg(cfg))
+    out = K1.r1_apply_pallas(lv, x, cfg, op.taps_key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-10)
+
+
+def test_residual_matches_xla(setup):
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    ref = prob.f - op.apply_op(lv, x, xla_cfg(cfg))
+    out = K1.r1_residual_pallas(lv, x, prob.f, cfg, op.taps_key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-10)
+
+
+@pytest.mark.parametrize("parity", [0, 1])
+def test_gsrb_sweep_matches_xla(setup, parity):
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    ax = op.apply_op(lv, x, xla_cfg(cfg))
+    mask = rb_mask(lv.dim, parity, x.dtype)
+    ref = x + mask * lv.dinv * (prob.f - ax)
+    out = K1.r1_gsrb_sweep_pallas(lv, x, prob.f, cfg, parity, op.taps_key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-10)
+
+
+def test_apply_interior_j_tiles(setup, monkeypatch):
+    """Force (8, 8) tiles so interior-j windows (the clamped mid case on
+    the sublane axis) are exercised too."""
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    monkeypatch.setattr(K1, "tile_shape_r1", lambda n, var7=True: (8, 8))
+    ref = op.apply_op(lv, x, xla_cfg(cfg))
+    out = K1.r1_apply_pallas(lv, x, cfg, op.taps_key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-10)
+
+
+@pytest.mark.parametrize("name", SUITES)
+def test_solve_identical_convergence(name):
+    """Whole-solve A/B: forced-Pallas vs XLA F-cycle convergence match
+    (operators.test.c identical-convergence smoke) at 32^3."""
+    from hpgmg_tpu.solve.mg import fmg_solve
+
+    a = 1.0 if name == "27pt" else 0.0
+    base_cfg = SolverConfig(op=name, a=a, dtype=jnp.float64)
+    prob = init_problem_fv(32, dtype=jnp.float64)
+    res = {}
+    for kern in ("pallas", "xla"):
+        cfg = dataclasses.replace(base_cfg, kernels=kern)
+        hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
+                               alpha=prob.alpha)
+        op = get_suite(name)
+        if kern == "pallas":
+            assert K1.use_pallas_r1(cfg, hier.levels[0])
+        u, norm_r, norm_f = fmg_solve(op, hier, prob.f, cfg)
+        res[kern] = (np.asarray(u), float(norm_r) / float(norm_f))
+    np.testing.assert_allclose(res["pallas"][0], res["xla"][0],
+                               rtol=1e-10, atol=1e-12)
+    assert abs(res["pallas"][1] - res["xla"][1]) < 1e-12
