@@ -47,8 +47,6 @@ def run_ab(n: int, dtype=jnp.float32, periodic: bool = False,
     from hpgmg_tpu.solve.mg import fmg_solve
 
     bc = BC.PERIODIC if periodic else BC.DIRICHLET
-    assert not (periodic and opname != "fv4"), \
-        "periodic kernels: fv4 only (radius-1 suites fall back to XLA)"
     mk = lambda kernels: SolverConfig(  # noqa: E731
         op=opname, a=1.0 if opname == "27pt" else 0.0, b=1.0, bc=bc,
         bottom=BottomSolver.DIRECT,

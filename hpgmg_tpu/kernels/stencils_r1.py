@@ -32,9 +32,20 @@ This file is the radius-1 analog of the fv4 kernel family
 * **GSRB_FP parity pre-folding**: the red/black mask rides in which
   ``kdinv`` field is passed (gsrb.c:78-87 done at MGBuild time).
 
-Unsupported here (XLA fallback): periodic BCs (wrap ghosts live on the
-opposite domain face, outside any local window), sharded levels, dims not
-tileable below.
+Two input modes, mirroring the fv4 family:
+
+* **masked** (default, Dirichlet single-chip): clamped halo windows +
+  in-kernel ghost synthesis with first/last-tile masks.
+* **ext** (``r1_call_ext``): the i/j ghosts arrive PRE-filled in the
+  array itself — a (ni+2, nj+16, nk) layout with the live extended j
+  rows at fixed offset [7, nj+9) — so no masks are needed. Serves (a)
+  the distributed path (parallel/shard_kernels.py: radius-1 ppermute
+  halos + BC fills under shard_map, exchange_boundary.c:12-117 composed
+  with the radius-1 smoothers) and (b) single-chip periodic BCs (wrap
+  ghosts live on the opposite domain face, outside any masked window;
+  XLA materializes the wrap once, the k-axis wraps in-kernel).
+
+Unsupported here (XLA fallback): dims not tileable below.
 """
 
 from __future__ import annotations
@@ -89,13 +100,34 @@ def tile_shape_r1(n: int, var7: bool = True):
     return best[1] if best else None
 
 
+def tile_shape_r1_local(ni: int, nj: int, nk: int, var7: bool = True):
+    """(bi, bj) for a PER-SHARD (ni, nj, nk) block in ext mode: no
+    >= 2-tile minimum or bj+16 window bound (the first/last-tile masks
+    are gone — ghosts are pre-filled), only divisibility + the sublane
+    multiple-of-8 rule + the VMEM budget."""
+    best = None
+    for bj in (64, 48, 32, 24, 16, 8):
+        if bj > nj or nj % bj:
+            continue
+        for bi in (64, 32, 16, 8, 4):
+            if bi > ni or ni % bi:
+                continue
+            if _vmem_bytes_r1(nk, bi, bj, var7) > _s._VMEM_BUDGET:
+                continue
+            key = (bi * bj, bj)
+            if best is None or key > best[0]:
+                best = (key, (bi, bj))
+    return best[1] if best else None
+
+
 def use_pallas_r1(cfg: SolverConfig, level: Level) -> bool:
     """Select the radius-1 Pallas path: kernel views attached by the
-    suite's rebuild_operator (``level.kernel_suite`` set), Dirichlet,
-    supported size, TPU backend (or interpreter in tests)."""
+    suite's rebuild_operator (``level.kernel_suite`` set), Dirichlet
+    (masked mode) or periodic (ext mode), supported size, TPU backend
+    (or interpreter in tests)."""
     if getattr(cfg, "kernels", "auto") == "xla":
         return False
-    if cfg.bc != BC.DIRICHLET:
+    if cfg.bc not in (BC.DIRICHLET, BC.PERIODIC):
         return False
     suite = getattr(level, "kernel_suite", None)
     if suite not in ("var7", "27pt"):
@@ -106,7 +138,10 @@ def use_pallas_r1(cfg: SolverConfig, level: Level) -> bool:
         return False
     if level.dim < _s._MIN_DIM:
         return False
-    if tile_shape_r1(level.dim, suite == "var7") is None:
+    n, var7 = level.dim, suite == "var7"
+    ts = (tile_shape_r1_local(n, n, n, var7) if cfg.bc == BC.PERIODIC
+          else tile_shape_r1(n, var7))
+    if ts is None:
         return False
     if (getattr(cfg, "kernels", "auto") != "pallas"
             and level.dim < _s._AUTO_MIN_DIM):
@@ -121,8 +156,12 @@ def use_pallas_r1(cfg: SolverConfig, level: Level) -> bool:
 
 def r1_views_eligible(cfg: SolverConfig, dim: int, var7: bool) -> bool:
     """Build-time gate for attaching radius-1 kernel views."""
-    return (cfg.kernels != "xla" and cfg.bc == BC.DIRICHLET
-            and dim >= _s._MIN_DIM and tile_shape_r1(dim, var7) is not None)
+    if cfg.kernels == "xla" or dim < _s._MIN_DIM:
+        return False
+    if cfg.bc == BC.PERIODIC:
+        return tile_shape_r1_local(dim, dim, dim, var7) is not None
+    return (cfg.bc == BC.DIRICHLET
+            and tile_shape_r1(dim, var7) is not None)
 
 
 def r1_beta_views(beta_i, beta_j, beta_k):
@@ -197,7 +236,7 @@ def _lane_ghosts(xe, taps):
 # ---------------------------------------------------------------------------
 
 def _r1_kernel(*refs, n, bi, bj, nti, ntj, mode, suite, taps, b_h2inv,
-               a_alpha, const_a):
+               a_alpha, const_a, ext=False, kperiodic=False):
     """Shared radius-1 stencil body on a (bi, bj, n) tile.
 
     mode: 'apply' -> Ax; 'residual' -> rhs - Ax;
@@ -205,6 +244,13 @@ def _r1_kernel(*refs, n, bi, bj, nti, ntj, mode, suite, taps, b_h2inv,
     suite: 'var7' (7-point variable-beta flux — fv7pt/fv2) or '27pt'
     a_alpha: var7 Helmholtz coefficient (adds a*alpha*x, alpha operand)
     const_a: 27pt's constant a*x term (operators.27pt.c:92, no operand)
+    ext: the solution window is PRE-extended (sharded / periodic paths:
+         radius-1 i/j ghosts — neighbor halos, BC fills, or wraps —
+         arrive in the array itself at fixed j offset 7), so no in-kernel
+         boundary synthesis or tile masks; only the k (lane) ghosts are
+         still synthesized (the k axis is unsharded).
+    kperiodic: the k-axis ghosts wrap (periodic BC): lane ghosts are the
+         opposite domain face's columns instead of the Dirichlet taps.
     """
     xw_ref = refs[0]
     k = 1
@@ -227,16 +273,29 @@ def _r1_kernel(*refs, n, bi, bj, nti, ntj, mode, suite, taps, b_h2inv,
     ti = pl.program_id(0)
     tj = pl.program_id(1)
 
-    # separable boundary extension, same axis order as the XLA ghost
-    # fills: i (from interior), then j (reads the i-ghost rows, producing
-    # the tensor-product edge values the 27pt stencil reads)
-    xi = _ext_tile_axis_r1(xw_ref[...], bi, ti, nti, 0, 1, taps)
-    xe = _ext_tile_axis_r1(xi, bj, tj, ntj, 1, 8, taps)  # (bi+2, bj+2, n)
+    if ext:
+        # window rows [ti*bi, ti*bi+bi+2) x [tj*bj, tj*bj+bj+16) of the
+        # (ni+2, nj+16, n) pre-extended array; the tile's extended j rows
+        # sit at in-window offset [7, bj+9) by the storage layout
+        xe = xw_ref[0:bi + 2, 7:bj + 9, :]               # (bi+2, bj+2, n)
+    else:
+        # separable boundary extension, same axis order as the XLA ghost
+        # fills: i (from interior), then j (reads the i-ghost rows,
+        # producing the tensor-product edge values the 27pt stencil reads)
+        xi = _ext_tile_axis_r1(xw_ref[...], bi, ti, nti, 0, 1, taps)
+        xe = _ext_tile_axis_r1(xi, bj, tj, ntj, 1, 8, taps)
+
+    def lane_ghosts(arr):
+        # k spans the level, so the wrap ghosts (periodic) / Dirichlet
+        # taps both come from in-tile columns
+        if kperiodic:
+            return arr[..., n - 1:n], arr[..., 0:1]
+        return _lane_ghosts(arr, taps)
 
     c = xe[1:1 + bi, 1:1 + bj, :]
 
     if suite == "var7":
-        glo, ghi = _lane_ghosts(c, taps)
+        glo, ghi = lane_ghosts(c)
         xm_k = _lane_shift(c, glo, ghi, -1)
         xp_k = _lane_shift(c, glo, ghi, 1)
         ebi = bi_ref[...]                      # (bi+1, bj, n)
@@ -255,7 +314,7 @@ def _r1_kernel(*refs, n, bi, bj, nti, ntj, mode, suite, taps, b_h2inv,
         if a_alpha:
             ax = ax + a_alpha * alpha_ref[...] * c
     else:  # dense 27pt, constant coefficient
-        glo, ghi = _lane_ghosts(xe, taps)
+        glo, ghi = lane_ghosts(xe)
         xkm = _lane_shift(xe, glo, ghi, -1)
         xkp = _lane_shift(xe, glo, ghi, 1)
 
@@ -288,16 +347,103 @@ def _r1_kernel(*refs, n, bi, bj, nti, ntj, mode, suite, taps, b_h2inv,
     out_ref[...] = c + dinv_ref[...] * (rhs_ref[...] - ax)
 
 
+def _view_specs_and_args(level_or_views, var7, bi, bj, nk, bmap):
+    """The coefficient-view BlockSpecs shared by masked and ext modes
+    (the per-shard view layouts equal the single-chip ones with local
+    dims — r1_beta_views / build_sharded_views_r1)."""
+    E = pl.Element
+    if not var7:
+        return [], []
+    kbi, kbj, kbk, kbk_top = level_or_views
+    specs = [
+        pl.BlockSpec((E(bi + 1), E(bj), E(nk)), bmap),
+        pl.BlockSpec((E(bi), E(bj + 8), E(nk)), bmap),
+        pl.BlockSpec((E(bi), E(bj), E(nk)), bmap),
+        pl.BlockSpec((E(bi), E(bj), E(1)), bmap),
+    ]
+    return specs, [kbi, kbj, kbk, kbk_top]
+
+
+def r1_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
+                b_h2inv, suite: str, taps_key: str, kperiodic: bool = False,
+                a_alpha: float = 0.0, const_a: float = 0.0, alpha=None):
+    """Pallas call on ONE pre-extended block (the shard_map body of the
+    distributed radius-1 path, and the single-chip periodic path).
+
+    x_ext: (ni+2, nj+16, nk) — i-extended by 1, j-extended rows stored at
+    [7, nj+9) of the padded j axis (ghosts = neighbor halos, BC fills, or
+    periodic wraps); kbi (ni+1, nj, nk) / kbj (ni, nj+8, nk) / kbk +
+    kbk_top: kernel-layout coefficient views for the var7 suites;
+    rhs/dinv/alpha: (ni, nj, nk) or None per mode.
+    """
+    ni, nj, nk = x_ext.shape[0] - 2, x_ext.shape[1] - 16, x_ext.shape[2]
+    var7 = suite == "var7"
+    ts = tile_shape_r1_local(ni, nj, nk, var7)
+    assert ts is not None, (ni, nj, nk)
+    bi, bj = ts
+    nti, ntj = ni // bi, nj // bj
+    kernel = functools.partial(
+        _r1_kernel, n=nk, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
+        suite=suite, taps=_TAPS[taps_key], b_h2inv=b_h2inv,
+        a_alpha=a_alpha, const_a=const_a, ext=True, kperiodic=kperiodic)
+
+    E = pl.Element
+
+    def xmap(ti, tj):
+        return (ti * bi, tj * bj, 0)
+
+    in_specs = [pl.BlockSpec((E(bi + 2), E(bj + 16), E(nk)), xmap)]
+    args = [x_ext]
+    vspecs, vargs = _view_specs_and_args((kbi, kbj, kbk, kbk_top), var7,
+                                         bi, bj, nk, xmap)
+    in_specs += vspecs
+    args += vargs
+    tile_spec = pl.BlockSpec((bi, bj, nk), lambda ti, tj: (ti, tj, 0))
+    if a_alpha:
+        in_specs.append(tile_spec)
+        args.append(alpha)
+    if mode != "apply":
+        in_specs.append(tile_spec)
+        args.append(rhs)
+    if mode == "gsrb":
+        in_specs.append(tile_spec)
+        args.append(dinv)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nti, ntj),
+        in_specs=in_specs,
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((ni, nj, nk), x_ext.dtype),
+        compiler_params=None if _s.INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=_s._VMEM_LIMIT),
+        interpret=_s.INTERPRET,
+    )(*args)
+
+
 def _r1_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str,
              taps_key: str):
     n = level.dim
     suite = level.kernel_suite
     taps = _TAPS[taps_key]
     var7 = suite == "var7"
-    bi, bj = tile_shape_r1(n, var7)
-    nti, ntj = n // bi, n // bj
     a_alpha = (cfg.a if cfg.helmholtz else 0.0) if var7 else 0.0
     const_a = cfg.a if not var7 else 0.0
+
+    if cfg.bc == BC.PERIODIC:
+        # wrap ghosts live on the opposite domain face, outside any masked
+        # window — XLA materializes the i/j wrap once (fused pad), the
+        # k-axis wraps in-kernel
+        xe = jnp.pad(jnp.pad(x, ((1, 1), (1, 1), (0, 0)), mode="wrap"),
+                     ((0, 0), (7, 7), (0, 0)))
+        return r1_call_ext(xe, level.kbi, level.kbj, level.kbk,
+                           level.kbk_top, rhs, dinv, mode,
+                           cfg.b * level.h2inv, suite, taps_key,
+                           kperiodic=True, a_alpha=a_alpha,
+                           const_a=const_a, alpha=level.alpha)
+
+    bi, bj = tile_shape_r1(n, var7)
+    nti, ntj = n // bi, n // bj
     kernel = functools.partial(
         _r1_kernel, n=n, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
         suite=suite, taps=taps, b_h2inv=cfg.b * level.h2inv,
@@ -316,14 +462,11 @@ def _r1_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str,
 
     in_specs = [pl.BlockSpec((E(bi + 2), E(bj + 16), E(n)), xmap)]
     args = [x]
-    if var7:
-        in_specs += [
-            pl.BlockSpec((E(bi + 1), E(bj), E(n)), bmap),
-            pl.BlockSpec((E(bi), E(bj + 8), E(n)), bmap),
-            pl.BlockSpec((E(bi), E(bj), E(n)), bmap),
-            pl.BlockSpec((E(bi), E(bj), E(1)), bmap),
-        ]
-        args += [level.kbi, level.kbj, level.kbk, level.kbk_top]
+    vspecs, vargs = _view_specs_and_args(
+        (level.kbi, level.kbj, level.kbk, level.kbk_top), var7, bi, bj, n,
+        bmap)
+    in_specs += vspecs
+    args += vargs
     tile_spec = pl.BlockSpec((bi, bj, n), lambda ti, tj: (ti, tj, 0))
     if a_alpha:
         in_specs.append(tile_spec)

@@ -66,15 +66,39 @@ class RadiusOneKernelMixin:
 
     def kernel_active(self, cfg: SolverConfig, level: Level) -> bool:
         from hpgmg_tpu.kernels.stencils_r1 import use_pallas_r1
+        from hpgmg_tpu.parallel.shard_kernels import use_pallas_r1_sharded
 
-        return use_pallas_r1(cfg, level)
+        return (use_pallas_r1(cfg, level)
+                or use_pallas_r1_sharded(cfg, level))
+
+    def r1_fast_apply(self, level: Level, x, cfg: SolverConfig):
+        """Ax through a radius-1 kernel path (single-chip masked/ext or
+        distributed shard_map), or None when no fast path serves."""
+        from hpgmg_tpu.kernels.stencils_r1 import (r1_apply_pallas,
+                                                   use_pallas_r1)
+        from hpgmg_tpu.parallel.shard_kernels import (get_mesh_for_level,
+                                                      r1_sharded)
+
+        if use_pallas_r1(cfg, level):
+            return r1_apply_pallas(level, x, cfg, self.taps_key)
+        mesh = get_mesh_for_level(cfg, level)
+        if mesh is not None:
+            return r1_sharded(mesh, level, x, None, cfg, "apply",
+                              self.taps_key)
+        return None
 
     def residual(self, level: Level, x, rhs, cfg: SolverConfig):
         from hpgmg_tpu.kernels.stencils_r1 import (r1_residual_pallas,
                                                    use_pallas_r1)
+        from hpgmg_tpu.parallel.shard_kernels import (get_mesh_for_level,
+                                                      r1_sharded)
 
         if use_pallas_r1(cfg, level):
             return r1_residual_pallas(level, x, rhs, cfg, self.taps_key)
+        mesh = get_mesh_for_level(cfg, level)
+        if mesh is not None:
+            return r1_sharded(mesh, level, x, rhs, cfg, "residual",
+                              self.taps_key)
         return rhs - self.apply_op(level, x, cfg)
 
     def gsrb_sweep(self, level: Level, x, rhs, cfg: SolverConfig,
@@ -83,13 +107,23 @@ class RadiusOneKernelMixin:
         carried by which pre-masked kdinv field rides along)."""
         from hpgmg_tpu.kernels.stencils_r1 import (r1_gsrb_sweep_pallas,
                                                    use_pallas_r1)
+        from hpgmg_tpu.parallel.shard_kernels import (get_mesh_for_level,
+                                                      r1_sharded)
 
-        if not use_pallas_r1(cfg, level) or level.kdinv is None:
+        if level.kdinv is None:
             return NotImplemented
-        for s in range(nsweeps):
-            x = r1_gsrb_sweep_pallas(level, x, rhs, cfg, s & 1,
-                                     self.taps_key)
-        return x
+        if use_pallas_r1(cfg, level):
+            for s in range(nsweeps):
+                x = r1_gsrb_sweep_pallas(level, x, rhs, cfg, s & 1,
+                                         self.taps_key)
+            return x
+        mesh = get_mesh_for_level(cfg, level)
+        if mesh is not None:
+            for s in range(nsweeps):
+                x = r1_sharded(mesh, level, x, rhs, cfg, "gsrb",
+                               self.taps_key, parity=s & 1)
+            return x
+        return NotImplemented
 
     def _attach_r1_views(self, level: Level, cfg: SolverConfig) -> Level:
         """Mark the level for the radius-1 kernels (and attach the

@@ -36,11 +36,9 @@ class Const27pt(base.RadiusOneKernelMixin, base.OperatorSuite):
     r1_var7 = False
 
     def apply_op(self, level: Level, x: jax.Array, cfg: SolverConfig) -> jax.Array:
-        from hpgmg_tpu.kernels.stencils_r1 import (r1_apply_pallas,
-                                                   use_pallas_r1)
-
-        if use_pallas_r1(cfg, level):
-            return r1_apply_pallas(level, x, cfg, self.taps_key)
+        out = self.r1_fast_apply(level, x, cfg)
+        if out is not None:
+            return out
         n = level.dim
         xg = ghost_fill_quadratic_fd(x, cfg.bc, radius=1)
 

@@ -34,11 +34,9 @@ class FV2(base.RadiusOneKernelMixin, base.OperatorSuite):
     taps_key = "v2"
 
     def apply_op(self, level: Level, x: jax.Array, cfg: SolverConfig) -> jax.Array:
-        from hpgmg_tpu.kernels.stencils_r1 import (r1_apply_pallas,
-                                                   use_pallas_r1)
-
-        if use_pallas_r1(cfg, level):
-            return r1_apply_pallas(level, x, cfg, self.taps_key)
+        out = self.r1_fast_apply(level, x, cfg)
+        if out is not None:
+            return out
         xg = ghost_fill_fv(x, cfg.bc, order=2, radius=1)
         ax = -cfg.b * level.h2inv * beta_laplacian(level, xg)
         if cfg.helmholtz:

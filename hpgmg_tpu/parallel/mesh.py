@@ -171,7 +171,9 @@ def shard_hierarchy(mesh: Mesh, hier, cfg=None):
 
     from hpgmg_tpu.core.hierarchy import Hierarchy
     from hpgmg_tpu.parallel.shard_kernels import (build_sharded_views,
-                                                  sharded_kernel_eligible)
+                                                  build_sharded_views_r1,
+                                                  sharded_kernel_eligible,
+                                                  sharded_r1_eligible)
 
     new_levels = []
     for lv in hier.levels:
@@ -182,11 +184,17 @@ def shard_hierarchy(mesh: Mesh, hier, cfg=None):
         if (cfg is not None and lv.kbi is not None and not replicated
                 and lv.kernel_suite is None
                 and sharded_kernel_eligible(mesh, lv.dim, cfg)):
-            # fv4-layout views only: the distributed fast path
-            # (parallel/shard_kernels.py) understands the fv4 window
-            # layout; radius-1 levels fall back to the XLA path when
-            # sharded (their views are dropped below)
+            # fv4-layout views: the distributed radius-2 fast path
             kbi, kbj, kbk, kbk_top, kdinv = build_sharded_views(mesh, lv)
+            kviews = dict(kbi=kbi, kbj=kbj, kbk=kbk, kbk_top=kbk_top,
+                          kdinv=kdinv, ksharded=True)
+        elif (cfg is not None and lv.kernel_suite is not None
+                and not replicated and lv.dinv is not None
+                and sharded_r1_eligible(mesh, lv.dim, cfg,
+                                        lv.kernel_suite == "var7")):
+            # radius-1 view layouts (fv7pt/fv2/27pt): per-shard cuts of
+            # the unextended face coefficients
+            kbi, kbj, kbk, kbk_top, kdinv = build_sharded_views_r1(mesh, lv)
             kviews = dict(kbi=kbi, kbj=kbj, kbk=kbk, kbk_top=kbk_top,
                           kdinv=kdinv, ksharded=True)
         for name in ("beta_i", "beta_j", "beta_k", "alpha", "dinv",

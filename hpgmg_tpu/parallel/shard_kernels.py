@@ -77,12 +77,75 @@ def sharded_kernel_eligible(mesh: Mesh, dim: int, cfg: SolverConfig) -> bool:
 
 
 def use_pallas_sharded(cfg: SolverConfig, level: Level) -> bool:
-    """Trace-time gate for the distributed kernel path: the level carries
-    per-shard views (built by shard_hierarchy) and a mesh is active."""
+    """Trace-time gate for the distributed fv4 kernel path: the level
+    carries per-shard views (built by shard_hierarchy) and a mesh is
+    active."""
     from hpgmg_tpu.kernels import stencils
     from hpgmg_tpu.parallel.mesh import get_active_mesh
 
     if not getattr(level, "ksharded", False) or level.kbi is None:
+        return False
+    if getattr(level, "kernel_suite", None) is not None:
+        return False  # radius-1 view layouts (use_pallas_r1_sharded)
+    if get_active_mesh() is None:
+        return False
+    if stencils.INTERPRET:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def sharded_r1_eligible(mesh: Mesh, dim: int, cfg: SolverConfig,
+                        var7: bool) -> bool:
+    """Static check: can a radius-1 level of extent ``dim`` run the
+    Pallas kernels under this mesh? Mirrors ``use_pallas_r1`` plus the
+    distribution constraints (z unsharded, even local dims for the
+    global-parity GSRB masks, tileable local block)."""
+    from hpgmg_tpu.kernels.stencils import _AUTO_MIN_DIM, _MIN_DIM
+    from hpgmg_tpu.kernels.stencils_r1 import tile_shape_r1_local
+
+    if getattr(cfg, "kernels", "auto") == "xla":
+        return False
+    if cfg.bc not in (BC.DIRICHLET, BC.PERIODIC):
+        return False
+    if cfg.helmholtz and var7:
+        return False  # the sharded launch carries no alpha operand
+    if mesh.shape["z"] != 1:
+        return False
+    sx, sy = mesh.shape["x"], mesh.shape["y"]
+    if sx * sy == 1:
+        return False  # single device: the single-chip path serves
+    if dim % sx or dim % sy:
+        return False
+    nli, nlj = dim // sx, dim // sy
+    if nli < 8 or nlj < 8 or nli % 2 or nlj % 2:
+        return False
+    floor = _MIN_DIM if cfg.kernels == "pallas" else _AUTO_MIN_DIM
+    if dim < floor:
+        return False
+    return tile_shape_r1_local(nli, nlj, dim, var7) is not None
+
+
+def get_mesh_for_level(cfg: SolverConfig, level: Level):
+    """The active mesh when the distributed radius-1 path serves this
+    level, else None (ops/base.py RadiusOneKernelMixin dispatch)."""
+    from hpgmg_tpu.parallel.mesh import get_active_mesh
+
+    if not use_pallas_r1_sharded(cfg, level):
+        return None
+    return get_active_mesh()
+
+
+def use_pallas_r1_sharded(cfg: SolverConfig, level: Level) -> bool:
+    """Trace-time gate for the distributed radius-1 kernel path."""
+    from hpgmg_tpu.kernels import stencils
+    from hpgmg_tpu.parallel.mesh import get_active_mesh
+
+    if not getattr(level, "ksharded", False):
+        return False
+    if getattr(level, "kernel_suite", None) not in ("var7", "27pt"):
         return False
     if get_active_mesh() is None:
         return False
@@ -105,6 +168,53 @@ def _bc_slab(xl, axis: int, lo: bool):
 
     g1, g2 = _v4_ghost_pair(xl, axis, lo=lo)
     return jnp.concatenate([g2, g1] if lo else [g1, g2], axis=axis)
+
+
+def _extend_axis_sharded_r1(xl, name: str, axis: int, mesh: Mesh,
+                            periodic: bool, taps):
+    """Radius-1 analog of ``_extend_axis_sharded``: 1-deep neighbor halos
+    via ppermute; physical boundaries via the suite's 2-tap Dirichlet
+    ghost ``g = t1*x1 + t2*x2`` (stencils_r1._TAPS) — or the ring wrap
+    for periodic. Applied i-then-j so the tensor-product edge ghosts the
+    27pt stencil reads arrive transitively."""
+    t1, t2 = taps
+    nl = xl.shape[axis]
+
+    def bc(lo):
+        i1, i2 = (0, 1) if lo else (nl - 1, nl - 2)
+        g = t1 * lax.slice_in_dim(xl, i1, i1 + 1, axis=axis)
+        if t2:
+            g = g + t2 * lax.slice_in_dim(xl, i2, i2 + 1, axis=axis)
+        return g
+
+    n_sh = mesh.shape[name]
+    if n_sh == 1:
+        if periodic:
+            glo = lax.slice_in_dim(xl, nl - 1, nl, axis=axis)
+            ghi = lax.slice_in_dim(xl, 0, 1, axis=axis)
+        else:
+            glo, ghi = bc(True), bc(False)
+    else:
+        lo_face = lax.slice_in_dim(xl, 0, 1, axis=axis)
+        hi_face = lax.slice_in_dim(xl, nl - 1, nl, axis=axis)
+        fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+        bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+        glo = lax.ppermute(hi_face, name, fwd)  # from my -1 neighbor
+        ghi = lax.ppermute(lo_face, name, bwd)  # from my +1 neighbor
+        if not periodic:
+            idx = lax.axis_index(name)
+            glo = jnp.where(idx == 0, bc(True), glo)
+            ghi = jnp.where(idx == n_sh - 1, bc(False), ghi)
+    return jnp.concatenate([glo, xl, ghi], axis=axis)
+
+
+def extend_for_kernel_r1(xl, mesh: Mesh, periodic: bool, taps):
+    """(nli, nlj, nk) local block -> (nli+2, nlj+16, nk) pre-extended
+    array in the radius-1 kernel's j-padded layout (live extended j rows
+    at [7, nlj+9))."""
+    xe = _extend_axis_sharded_r1(xl, "x", 0, mesh, periodic, taps)
+    xe = _extend_axis_sharded_r1(xe, "y", 1, mesh, periodic, taps)
+    return jnp.pad(xe, ((0, 0), (7, 7), (0, 0)))
 
 
 def _extend_axis_sharded(xl, name: str, axis: int, mesh: Mesh,
@@ -178,6 +288,46 @@ def fv4_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
                      out_specs=_SPEC, check_vma=False)(*args)
 
 
+def r1_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
+               mode: str, taps_key: str, parity: int = 0):
+    """One distributed radius-1 kernel application (apply / residual /
+    one GSRB half-sweep): radius-1 exchange-then-stencil in a single
+    shard_map region (exchange_boundary.c:12-117 + the STAR-shape
+    radius-1 suites, operators.7pt.c:52-76)."""
+    from hpgmg_tpu.kernels.stencils_r1 import _TAPS, r1_call_ext
+
+    b_h2inv = cfg.b * level.h2inv
+    periodic = cfg.bc == BC.PERIODIC
+    suite = level.kernel_suite
+    var7 = suite == "var7"
+    const_a = 0.0 if var7 else cfg.a
+    taps = _TAPS[taps_key]
+    args = [x]
+    if var7:
+        args += [level.kbi, level.kbj, level.kbk, level.kbk_top]
+    if mode != "apply":
+        args.append(rhs)
+    if mode == "gsrb":
+        args.append(level.kdinv[parity & 1])
+    in_specs = tuple(_SPEC for _ in args)
+
+    def body(xl, *rest):
+        k = 0
+        kbi = kbj = kbk = kbktop = None
+        if var7:
+            kbi, kbj, kbk, kbktop = rest[:4]
+            k = 4
+        rhsl = rest[k] if mode != "apply" else None
+        dl = rest[k + 1] if mode == "gsrb" else None
+        xe = extend_for_kernel_r1(xl, mesh, periodic, taps)
+        return r1_call_ext(xe, kbi, kbj, kbk, kbktop, rhsl, dl, mode,
+                           b_h2inv, suite, taps_key, kperiodic=periodic,
+                           const_a=const_a)
+
+    return shard_map(body, mesh=mesh, in_specs=in_specs,
+                     out_specs=_SPEC, check_vma=False)(*args)
+
+
 # ---------------------------------------------------------------------------
 # per-shard coefficient views (cut at shard_hierarchy time)
 # ---------------------------------------------------------------------------
@@ -220,5 +370,46 @@ def build_sharded_views(mesh: Mesh, level: Level):
     kdinv = tuple(
         jax.device_put(rb_mask(n, p, level.dinv.dtype) * level.dinv, sh)
         for p in (0, 1))
+    put = lambda a: jax.device_put(a, sh)  # noqa: E731
+    return put(kbi), put(kbj), put(kbk), put(kbk_top), kdinv
+
+
+def build_sharded_views_r1(mesh: Mesh, level: Level):
+    """Per-shard radius-1 kernel views, stacked P('x','y')-sharded (see
+    ``build_sharded_views``). Much simpler than fv4: the radius-1 flux
+    reads NO tangential coefficient ghosts (every face is in-domain), so
+    the local views are plain overlapping cuts of the unextended face
+    coefficients in the single-chip layouts of ``r1_beta_views`` —
+    kbi (nli+1, nlj, nk), kbj (nli, nlj+8, nk) [j face axis padded
+    nlj+1 -> nlj+8], kbk (nli, nlj, nk) low faces + kbk_top (nli, nlj, 1).
+    The dense 27pt carries no beta views: returns kdinv only."""
+    from hpgmg_tpu.core.level import rb_mask
+
+    sx, sy = mesh.shape["x"], mesh.shape["y"]
+    n = level.dim
+    nli, nlj = n // sx, n // sy
+    sh = NamedSharding(mesh, _SPEC)
+    kdinv = tuple(
+        jax.device_put(rb_mask(n, p, level.dinv.dtype) * level.dinv, sh)
+        for p in (0, 1))
+    if level.kernel_suite != "var7":
+        return None, None, None, None, kdinv
+
+    bi, bj, bk = level.beta_i, level.beta_j, level.beta_k
+
+    def stack(blocks):
+        return jnp.concatenate(
+            [jnp.concatenate(row, axis=1) for row in blocks], axis=0)
+
+    kbi = stack([[bi[p * nli:(p + 1) * nli + 1, q * nlj:(q + 1) * nlj, :]
+                  for q in range(sy)] for p in range(sx)])
+    kbj = stack([[jnp.pad(bj[p * nli:(p + 1) * nli,
+                             q * nlj:(q + 1) * nlj + 1, :],
+                          ((0, 0), (0, 7), (0, 0)))
+                  for q in range(sy)] for p in range(sx)])
+    kbk = stack([[bk[p * nli:(p + 1) * nli, q * nlj:(q + 1) * nlj, :-1]
+                  for q in range(sy)] for p in range(sx)])
+    kbk_top = stack([[bk[p * nli:(p + 1) * nli, q * nlj:(q + 1) * nlj, -1:]
+                      for q in range(sy)] for p in range(sx)])
     put = lambda a: jax.device_put(a, sh)  # noqa: E731
     return put(kbi), put(kbj), put(kbk), put(kbk_top), kdinv

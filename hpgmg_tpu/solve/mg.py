@@ -41,7 +41,13 @@ import functools
 @functools.lru_cache(maxsize=None)
 def _phase_jit(name: str, variant: str = ""):
     """Jitted per-phase kernels for the timed (MGPrintTiming) solve mode.
-    Stable callables so jax's compile cache hits across phase calls."""
+    Stable callables so jax's compile cache hits across phase calls.
+
+    The cache key is only (name, variant): ``op``/``cfg`` ride as jit
+    static arguments, so a second config in the same process simply adds
+    entries to the *inner* jit cache of the same callable (correct, no
+    cross-config aliasing). The outer lru_cache is bounded by the ~7
+    phase names x interpolation variants; it never needs eviction."""
     if name == "smooth":
         return jax.jit(smooth, static_argnums=(0, 4))
     if name == "residual":

@@ -113,6 +113,32 @@ def test_apply_interior_j_tiles(setup, monkeypatch):
 
 
 @pytest.mark.parametrize("name", SUITES)
+def test_periodic_apply_and_gsrb_match_xla(name):
+    """Periodic BCs through the ext-mode kernel (i/j wrap materialized by
+    XLA, k wraps in-kernel) vs the XLA wrap fill."""
+    cfg = SolverConfig(op=name, a=1.0 if name == "27pt" else 0.0,
+                       dtype=jnp.float64, bc=BC.PERIODIC,
+                       kernels="pallas")
+    prob = init_problem_fv(48, dtype=jnp.float64, periodic=True)
+    hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
+                           alpha=prob.alpha)
+    op = get_suite(name)
+    lv = hier.levels[0]
+    assert K1.use_pallas_r1(cfg, lv)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((48, 48, 48)))
+    ref = op.apply_op(lv, x, xla_cfg(cfg))
+    out = K1.r1_apply_pallas(lv, x, cfg, op.taps_key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-10)
+    mask = rb_mask(lv.dim, 1, x.dtype)
+    ref_g = x + mask * lv.dinv * (prob.f - ref)
+    out_g = K1.r1_gsrb_sweep_pallas(lv, x, prob.f, cfg, 1, op.taps_key)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g),
+                               rtol=1e-12, atol=1e-10)
+
+
+@pytest.mark.parametrize("name", SUITES)
 def test_solve_identical_convergence(name):
     """Whole-solve A/B: forced-Pallas vs XLA F-cycle convergence match
     (operators.test.c identical-convergence smoke) at 32^3."""
