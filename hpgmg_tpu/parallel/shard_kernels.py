@@ -58,7 +58,7 @@ def sharded_kernel_eligible(mesh: Mesh, dim: int, cfg: SolverConfig) -> bool:
 
     if getattr(cfg, "kernels", "auto") == "xla":
         return False
-    if cfg.helmholtz or cfg.bc not in (BC.DIRICHLET, BC.PERIODIC):
+    if cfg.bc not in (BC.DIRICHLET, BC.PERIODIC):
         return False
     if mesh.shape["z"] != 1:
         return False
@@ -87,6 +87,8 @@ def use_pallas_sharded(cfg: SolverConfig, level: Level) -> bool:
         return False
     if getattr(level, "kernel_suite", None) is not None:
         return False  # radius-1 view layouts (use_pallas_r1_sharded)
+    if cfg.helmholtz and level.alpha is None:
+        return False
     if get_active_mesh() is None:
         return False
     if stencils.INTERPRET:
@@ -110,8 +112,6 @@ def sharded_r1_eligible(mesh: Mesh, dim: int, cfg: SolverConfig,
         return False
     if cfg.bc not in (BC.DIRICHLET, BC.PERIODIC):
         return False
-    if cfg.helmholtz and var7:
-        return False  # the sharded launch carries no alpha operand
     if mesh.shape["z"] != 1:
         return False
     sx, sy = mesh.shape["x"], mesh.shape["y"]
@@ -146,6 +146,9 @@ def use_pallas_r1_sharded(cfg: SolverConfig, level: Level) -> bool:
     if not getattr(level, "ksharded", False):
         return False
     if getattr(level, "kernel_suite", None) not in ("var7", "27pt"):
+        return False
+    if (cfg.helmholtz and level.kernel_suite == "var7"
+            and level.alpha is None):
         return False
     if get_active_mesh() is None:
         return False
@@ -266,7 +269,10 @@ def fv4_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
     half-sweep): exchange-then-stencil in a single shard_map region."""
     b_h2inv = cfg.b * level.h2inv
     periodic = cfg.bc == BC.PERIODIC
+    a_alpha = cfg.a if cfg.helmholtz else 0.0
     args = [x, level.kbi, level.kbj, level.kbk, level.kbk_top]
+    if a_alpha:
+        args.append(level.alpha)
     if mode != "apply":
         args.append(rhs)
     if mode == "gsrb":
@@ -276,11 +282,17 @@ def fv4_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
     def body(xl, kbi, kbj, kbk, kbktop, *rest):
         from hpgmg_tpu.kernels.stencils import fv4_call_ext
 
-        rhsl = rest[0] if mode != "apply" else None
-        dl = rest[1] if mode == "gsrb" else None
+        k = 0
+        alphal = None
+        if a_alpha:
+            alphal = rest[k]
+            k += 1
+        rhsl = rest[k] if mode != "apply" else None
+        dl = rest[k + 1] if mode == "gsrb" else None
         xe = extend_for_kernel(xl, mesh, periodic)
         return fv4_call_ext(xe, kbi, kbj, kbk, kbktop, rhsl, dl, mode,
-                            b_h2inv, kperiodic=periodic)
+                            b_h2inv, kperiodic=periodic, a_alpha=a_alpha,
+                            alpha=alphal)
 
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
     # annotation, which the checker (jax >= 0.7) would reject
@@ -301,10 +313,13 @@ def r1_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
     suite = level.kernel_suite
     var7 = suite == "var7"
     const_a = 0.0 if var7 else cfg.a
+    a_alpha = (cfg.a if cfg.helmholtz else 0.0) if var7 else 0.0
     taps = _TAPS[taps_key]
     args = [x]
     if var7:
         args += [level.kbi, level.kbj, level.kbk, level.kbk_top]
+    if a_alpha:
+        args.append(level.alpha)
     if mode != "apply":
         args.append(rhs)
     if mode == "gsrb":
@@ -317,12 +332,16 @@ def r1_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
         if var7:
             kbi, kbj, kbk, kbktop = rest[:4]
             k = 4
+        alphal = None
+        if a_alpha:
+            alphal = rest[k]
+            k += 1
         rhsl = rest[k] if mode != "apply" else None
         dl = rest[k + 1] if mode == "gsrb" else None
         xe = extend_for_kernel_r1(xl, mesh, periodic, taps)
         return r1_call_ext(xe, kbi, kbj, kbk, kbktop, rhsl, dl, mode,
                            b_h2inv, suite, taps_key, kperiodic=periodic,
-                           const_a=const_a)
+                           const_a=const_a, a_alpha=a_alpha, alpha=alphal)
 
     return shard_map(body, mesh=mesh, in_specs=in_specs,
                      out_specs=_SPEC, check_vma=False)(*args)

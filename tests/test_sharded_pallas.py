@@ -265,3 +265,32 @@ def test_sharded_r1_periodic_gsrb_matches_xla(interpret):
             shard_array(mesh, prob.f))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-12, atol=5e-13)
+
+
+@requires_8dev
+@pytest.mark.parametrize("name", ["fv4", "fv7pt"])
+def test_sharded_helmholtz_gsrb_matches_xla(interpret, name):
+    """Helmholtz (a*alpha*u term) through the sharded kernels: the alpha
+    operand rides the shard_map like any cell field."""
+    import dataclasses
+
+    cfg = SolverConfig(op=name, a=0.9, b=1.0, helmholtz=True,
+                       dtype=jnp.float64, kernels="pallas")
+    prob = init_problem_fv(64, dtype=jnp.float64)
+    hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
+                           alpha=prob.alpha)
+    op = get_suite(name)
+    cfg_xla = dataclasses.replace(cfg, kernels="xla")
+    lv = hier.levels[0]
+    x = prob.f / (1.0 + jnp.max(jnp.abs(prob.f)))
+    ref = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg_xla))(
+        lv, x, prob.f)
+    mesh = make_mesh_ij()
+    hier_s = shard_hierarchy(mesh, hier, cfg)
+    assert hier_s.levels[0].ksharded
+    with active_mesh(mesh):
+        out = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg))(
+            hier_s.levels[0], shard_array(mesh, x),
+            shard_array(mesh, prob.f))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-12, atol=5e-13)
