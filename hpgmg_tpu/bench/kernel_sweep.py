@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
                 mxu: bool = False, opname: str = "fv4",
-                kernels: str = "auto") -> float:
+                kernels: str = "auto", probe_main_only: bool = False) -> float:
     """Seconds per HALF-sweep."""
     import hpgmg_tpu.kernels.stencils as K
     from hpgmg_tpu.core.config import BottomSolver, SolverConfig
@@ -50,8 +50,10 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
 
     old = K.SINGLE_EXT
     old_mxu = K.MXU_JDIFF
+    old_probe = K.PROBE_MAIN_ONLY
     K.SINGLE_EXT = ext
     K.MXU_JDIFF = mxu
+    K.PROBE_MAIN_ONLY = probe_main_only
     try:
         @jax.jit
         def chained(lv, x, rhs):
@@ -68,6 +70,7 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
     finally:
         K.SINGLE_EXT = old
         K.MXU_JDIFF = old_mxu
+        K.PROBE_MAIN_ONLY = old_probe
     nhalf = 2 * cfg.resolved_num_smooths(op)
     return dt / (reps * nhalf)
 
@@ -78,6 +81,9 @@ def main(argv=None):
     p.add_argument("--reps", type=int, default=50)
     p.add_argument("--mxu", action="store_true",
                    help="also time the MXU j-difference kernel variant")
+    p.add_argument("--probe-main-only", action="store_true",
+                   help="also time the main-flux-only probe (wrong "
+                        "answers; measures VPU-op-count sensitivity)")
     p.add_argument("--op", default="fv4",
                    choices=["fv4", "fv7pt", "fv2", "27pt"])
     args = p.parse_args(argv)
@@ -102,6 +108,11 @@ def main(argv=None):
             t_mxu = time_sweeps(n, ext=False, reps=args.reps, mxu=True)
             line += (f" | mxu {t_mxu * 1e6:8.1f} us "
                      f"(mxu/masked {t_mxu / t_mask:5.2f})")
+        if args.probe_main_only:
+            t_p = time_sweeps(n, ext=False, reps=args.reps,
+                              probe_main_only=True)
+            line += (f" | main-only {t_p * 1e6:8.1f} us "
+                     f"(probe/masked {t_p / t_mask:5.2f})")
         print(line)
     return 0
 

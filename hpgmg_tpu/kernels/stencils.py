@@ -257,6 +257,13 @@ def _lane_shift(core, glo, ghi, dk: int):
 # Measured on v5e (bench/kernel_sweep.py --mxu): see docs/MXU_JDIFF.md.
 MXU_JDIFF = False
 
+# Timing-probe flag (NOT numerically correct): drop the mixed-derivative
+# G fluxes (and the shared central-difference fields feeding them) from
+# the fv4 kernel to measure how run time scales with VPU op count —
+# the ALU-boundedness probe behind the parity-packing decision
+# (bench/kernel_sweep.py --probe-main-only; see docs/DESIGN.md).
+PROBE_MAIN_ONLY = False
+
 
 def _jdiff_dot(X, out_j: int, taps):
     """Banded j-difference via MXU: returns D @ X per leading row, where
@@ -304,6 +311,10 @@ def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
 
     q = 0.25
     n = xj.shape[2]
+
+    if PROBE_MAIN_ONLY:
+        return _flux_ax_main_only(xj, xglo, xghi, ebi, ebj, ebk, ebk_top,
+                                  b, J)
 
     # central-difference fields (ext index = cell + 2)
     # cdi[r, j, k] = x(i+1) - x(i-1) at i = r,  i in [0, b),  j in [-1, J]
@@ -383,6 +394,37 @@ def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
             * (cdj_ghi[1:b + 1] - cdjc[..., n - 1:]))
     tf_top = (ebk_top[1:b + 1, 1:J + 1]
               * (15.0 * d1_top - dbig_top) + q * (gi_t + gj_t))
+    ax = ax + _lane_shift(tf, None, tf_top, 1) - tf
+    return ax
+
+
+def _flux_ax_main_only(xj, xglo, xghi, ebi, ebj, ebk, ebk_top, b, J):
+    """PROBE_MAIN_ONLY body: the main telescoping fluxes only (no mixed
+    G terms, no central-difference fields). Timing probe, wrong answers."""
+    def sl(a, i0, i1, j0, j1):
+        return lax.slice(a, (i0, j0, 0), (i1, j1, a.shape[2]))
+
+    n = xj.shape[2]
+    d1 = sl(xj, 2, b + 3, 2, J + 2) - sl(xj, 1, b + 2, 2, J + 2)
+    dbig = sl(xj, 3, b + 4, 2, J + 2) - sl(xj, 0, b + 1, 2, J + 2)
+    tf = ebi[:, 1:J + 1, :] * (15.0 * d1 - dbig)
+    ax = tf[1:] - tf[:-1]
+
+    d1 = sl(xj, 2, b + 2, 2, J + 3) - sl(xj, 2, b + 2, 1, J + 2)
+    dbig = sl(xj, 2, b + 2, 3, J + 4) - sl(xj, 2, b + 2, 0, J + 1)
+    tf = ebj[1:b + 1] * (15.0 * d1 - dbig)
+    ax = ax + tf[:, 1:, :] - tf[:, :-1, :]
+
+    xcc = sl(xj, 2, b + 2, 2, J + 2)
+    gloc = sl(xglo, 2, b + 2, 2, J + 2)
+    ghic = sl(xghi, 2, b + 2, 2, J + 2)
+    d1 = xcc - _lane_shift(xcc, gloc, ghic, -1)
+    d1_top = ghic[..., :1] - xcc[..., n - 1:]
+    dbig = (_lane_shift(xcc, gloc, ghic, 1)
+            - _lane_shift(xcc, gloc, ghic, -2))
+    dbig_top = ghic[..., 1:] - xcc[..., n - 2:n - 1]
+    tf = ebk[1:b + 1, 1:J + 1, :] * (15.0 * d1 - dbig)
+    tf_top = ebk_top[1:b + 1, 1:J + 1] * (15.0 * d1_top - dbig_top)
     ax = ax + _lane_shift(tf, None, tf_top, 1) - tf
     return ax
 
