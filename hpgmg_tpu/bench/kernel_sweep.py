@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
                 mxu: bool = False, opname: str = "fv4",
-                kernels: str = "auto", probe_main_only: bool = False) -> float:
+                kernels: str = "auto", probe_main_only: bool = False,
+                prediff: bool = False) -> float:
     """Seconds per HALF-sweep."""
     import hpgmg_tpu.kernels.stencils as K
     from hpgmg_tpu.core.config import BottomSolver, SolverConfig
@@ -41,6 +42,11 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
     cfg = SolverConfig(op=opname, a=1.0 if opname == "27pt" else 0.0,
                        b=1.0, dtype=dtype, kernels=kernels,
                        bottom=BottomSolver.DIRECT, min_coarse_dim=8)
+    old_prediff = K.PREDIFF
+    old_maxdim = K.PREDIFF_MAX_DIM
+    K.PREDIFF = prediff  # before build: rebuild_operator attaches kgd
+    if prediff:
+        K.PREDIFF_MAX_DIM = max(K.PREDIFF_MAX_DIM, n)  # measure for real
     prob = init_problem_fv(n, dtype=dtype)
     hier = slim_hierarchy(
         build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg), cfg)
@@ -71,6 +77,8 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
         K.SINGLE_EXT = old
         K.MXU_JDIFF = old_mxu
         K.PROBE_MAIN_ONLY = old_probe
+        K.PREDIFF = old_prediff
+        K.PREDIFF_MAX_DIM = old_maxdim
     nhalf = 2 * cfg.resolved_num_smooths(op)
     return dt / (reps * nhalf)
 
@@ -84,9 +92,20 @@ def main(argv=None):
     p.add_argument("--probe-main-only", action="store_true",
                    help="also time the main-flux-only probe (wrong "
                         "answers; measures VPU-op-count sensitivity)")
+    p.add_argument("--prediff", action="store_true",
+                   help="also time the precomputed-beta-difference "
+                        "kernel (kgd operands; kernels/stencils.py "
+                        "PREDIFF)")
+    p.add_argument("--budget-mb", type=float, default=None,
+                   help="override the tile-selection VMEM budget "
+                        "(kernels/stencils.py _VMEM_BUDGET)")
     p.add_argument("--op", default="fv4",
                    choices=["fv4", "fv7pt", "fv2", "27pt"])
     args = p.parse_args(argv)
+    if args.budget_mb is not None:
+        import hpgmg_tpu.kernels.stencils as K
+
+        K._VMEM_BUDGET = int(args.budget_mb * 2 ** 20)
     print(f"backend={jax.default_backend()} op={args.op}")
     if args.op != "fv4":
         # radius-1 family: Pallas masked kernel vs the XLA path
@@ -113,6 +132,10 @@ def main(argv=None):
                               probe_main_only=True)
             line += (f" | main-only {t_p * 1e6:8.1f} us "
                      f"(probe/masked {t_p / t_mask:5.2f})")
+        if args.prediff:
+            t_d = time_sweeps(n, ext=False, reps=args.reps, prediff=True)
+            line += (f" | prediff {t_d * 1e6:8.1f} us "
+                     f"(prediff/masked {t_d / t_mask:5.2f})")
         print(line)
     return 0
 

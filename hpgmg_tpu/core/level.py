@@ -64,6 +64,14 @@ class Level:
     # non-updated cells) — the GSRB_FP mask plane (level.c:1213-1241)
     # moved to build time
     kdinv: Optional[tuple] = None
+    # sweep-invariant mixed-flux operands: the 6 tangential central
+    # differences of the face coefficients (+ 2 k-top planes), with the
+    # 0.25 mixed-flux factor folded in, in kernel layout — recomputing
+    # them every half-sweep is pure VPU op count, the binding constraint
+    # (docs/GSRB_VPU.md). Built by kernel_beta_prediff when
+    # kernels/stencils.py:PREDIFF is on; ordered
+    # (dij, dik, dji, djk, dki, dkj, dki_top, dkj_top).
+    kgd: Optional[tuple] = None
     # static: the kernel views above are PER-SHARD stacked views built by
     # shard_hierarchy for the distributed fast path
     # (parallel/shard_kernels.py) rather than single-chip global views

@@ -78,23 +78,30 @@ _VMEM_BUDGET = 28 * 2 ** 20
 _VMEM_LIMIT = 64 * 2 ** 20
 
 
-def _vmem_bytes(n: int, bi: int, bj: int) -> int:
+def _vmem_bytes(n: int, bi: int, bj: int, prediff: bool = False) -> int:
     """Rough f32 VMEM footprint of one (bi, bj) tile: double-buffered
     windows + the dominant temporaries. Lanes (last dim) round to 128."""
     ln = -(-n // 128) * 128
     wj = bj + 16
-    win = ((bi + 4) * wj * ln              # x halo window
-           + 3 * (bi + 2) * (bj + 8) * ln  # kbi/kbj/kbk (+ tiny top plane)
-           + 3 * bi * bj * ln)             # rhs + dinv + out
+    ncoef = 9 if prediff else 3  # + 6 prediff windows when enabled
+    win = ((bi + 4) * wj * ln                  # x halo window
+           + ncoef * (bi + 2) * (bj + 8) * ln  # kbi/kbj/kbk (+ prediff)
+           + 3 * bi * bj * ln)                 # rhs + dinv + out
     tmp = (bi + 4) * (bj + 8) * ln + 8 * bi * bj * ln
     return 4 * (2 * win + tmp)
 
 
-def tile_shape(n: int):
+def _budget(prediff: bool) -> int:
+    return _VMEM_BUDGET_PREDIFF if prediff else _VMEM_BUDGET
+
+
+def tile_shape(n: int, prediff=None):
     """(bi, bj) for the 2D tile grid: bj must be a multiple of 8 dividing
     n with >= 2 tiles (the edge-case switches need distinct first/last
     tiles); bi is any divisor with >= 2 tiles. Prefer the largest tile
     that fits VMEM (less halo recompute)."""
+    if prediff is None:
+        prediff = prediff_active(n)
     best = None
     for bj in (64, 48, 32, 24, 16, 8):
         if n % bj or n // bj < 2 or n < bj + 16:
@@ -102,7 +109,7 @@ def tile_shape(n: int):
         for bi in (64, 32, 16, 8, 4):
             if n % bi or n // bi < 2:
                 continue
-            if _vmem_bytes(n, bi, bj) > _VMEM_BUDGET:
+            if _vmem_bytes(n, bi, bj, prediff) > _budget(prediff):
                 continue
             # larger bj (sublane extent) wins ties: measured faster at
             # equal area (1647 vs 2015 us for (16,64) vs (32,32) at 256)
@@ -134,8 +141,10 @@ def use_pallas(cfg: SolverConfig, level: Level, x=None) -> bool:
     if level.dim < _MIN_DIM:
         return False
     n = level.dim
-    ts = (tile_shape_local(n, n, n) if cfg.bc == BC.PERIODIC or SINGLE_EXT
-          else tile_shape(n))
+    pdiff = getattr(level, "kgd", None) is not None
+    ts = (tile_shape_local(n, n, n, pdiff)
+          if cfg.bc == BC.PERIODIC or SINGLE_EXT
+          else tile_shape(n, pdiff))
     if ts is None:
         return False
     if (getattr(cfg, "kernels", "auto") != "pallas"
@@ -154,11 +163,12 @@ def kernel_views_eligible(cfg: SolverConfig, dim: int) -> bool:
     (rebuild_operator): BC + size supported by some Pallas path."""
     if cfg.kernels == "xla" or dim < _MIN_DIM:
         return False
+    pdiff = prediff_active(dim)
     if cfg.bc == BC.DIRICHLET:
-        return (tile_shape(dim) is not None if not SINGLE_EXT
-                else tile_shape_local(dim, dim, dim) is not None)
+        return (tile_shape(dim, pdiff) is not None if not SINGLE_EXT
+                else tile_shape_local(dim, dim, dim, pdiff) is not None)
     if cfg.bc == BC.PERIODIC:
-        return tile_shape_local(dim, dim, dim) is not None
+        return tile_shape_local(dim, dim, dim, pdiff) is not None
     return False
 
 
@@ -264,6 +274,27 @@ MXU_JDIFF = False
 # (bench/kernel_sweep.py --probe-main-only; see docs/DESIGN.md).
 PROBE_MAIN_ONLY = False
 
+# Precompute the sweep-invariant mixed-flux operands at MGBuild time
+# (kernel_beta_prediff): the 6 tangential central differences of the face
+# coefficients — recomputed from the beta windows every half-sweep today
+# (6 subs + 4 lane-shift passes + the 4 quintic lane-ghost builds) — plus
+# the 0.25 factor folded in (a power of two: bitwise-neutral). Trades 6
+# extra n^3 operand streams for pure VPU op count, the binding
+# constraint (docs/GSRB_VPU.md). Measured (kernel_sweep --prediff):
+# 0.72x at 128^3, 0.98x at 256^3, but 1.29x at 512^3 — at 512 the
+# kernel nears HBM saturation and 6 extra streams cost ~3.9 ms/sweep —
+# hence the size cap. Costs 6 n^3 fields of HBM per capped level.
+PREDIFF = True
+PREDIFF_MAX_DIM = 256
+# the 9-window prediff estimate needs more headroom to keep the measured
+# best tiles ((32,64)@128, (16,64)@256)
+_VMEM_BUDGET_PREDIFF = 48 * 2 ** 20
+
+
+def prediff_active(dim: int) -> bool:
+    """Build/call-consistent gate for the prediff variant at this size."""
+    return PREDIFF and dim <= PREDIFF_MAX_DIM
+
 
 def _jdiff_dot(X, out_j: int, taps):
     """Banded j-difference via MXU: returns D @ X per leading row, where
@@ -281,7 +312,7 @@ def _jdiff_dot(X, out_j: int, taps):
     return jnp.stack(rows, axis=0)
 
 def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
-             ebk, ebk_top, b: int, J: int):
+             ebk, ebk_top, b: int, J: int, pd=None):
     """fv4 A(u) in telescoping flux form (the reference's flux formulation,
     operators.flux.c / operators/gsrb.flux.c): per face
     ``TF = beta_f*(15*d1 - dbig) + 0.25*(G_t1 + G_t2)`` with
@@ -345,11 +376,18 @@ def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
     dbig = sl(xj, 3, b + 4, 2, J + 2) - sl(xj, 0, b + 1, 2, J + 2)
     bc = ebi[:, 1:J + 1, :]
     # G diffs across the face ride the free leading axis: cd_t(m)-cd_t(m-1)
-    gj = (ebi[:, 2:, :] - ebi[:, :-2, :]) * (cdj[1:] - cdj[:-1])
-    gk = ((_lane_shift(bc, bi_glo[:, 1:J + 1], bi_ghi[:, 1:J + 1], 1)
-           - _lane_shift(bc, bi_glo[:, 1:J + 1], bi_ghi[:, 1:J + 1], -1))
-          * (cdk[1:, 1:J + 1] - cdk[:-1, 1:J + 1]))
-    tf = bc * (15.0 * d1 - dbig) + q * (gj + gk)            # (b+1, J, n)
+    if pd is not None:
+        # prediff: the tangential beta differences (x0.25) arrive as
+        # operands — pure VPU-op savings (see PREDIFF above)
+        gj = pd[0] * (cdj[1:] - cdj[:-1])
+        gk = pd[1] * (cdk[1:, 1:J + 1] - cdk[:-1, 1:J + 1])
+        tf = bc * (15.0 * d1 - dbig) + (gj + gk)            # (b+1, J, n)
+    else:
+        gj = (ebi[:, 2:, :] - ebi[:, :-2, :]) * (cdj[1:] - cdj[:-1])
+        gk = ((_lane_shift(bc, bi_glo[:, 1:J + 1], bi_ghi[:, 1:J + 1], 1)
+               - _lane_shift(bc, bi_glo[:, 1:J + 1], bi_ghi[:, 1:J + 1], -1))
+              * (cdk[1:, 1:J + 1] - cdk[:-1, 1:J + 1]))
+        tf = bc * (15.0 * d1 - dbig) + q * (gj + gk)        # (b+1, J, n)
     ax = tf[1:] - tf[:-1]
 
     # ---- j faces: m in [0, J+1) ----
@@ -361,11 +399,16 @@ def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
         d1 = sl(xj, 2, b + 2, 2, J + 3) - sl(xj, 2, b + 2, 1, J + 2)
         dbig = sl(xj, 2, b + 2, 3, J + 4) - sl(xj, 2, b + 2, 0, J + 1)
     bc = ebj[1:b + 1]
-    gi = (ebj[2:] - ebj[:-2]) * (cdi[:, 1:, :] - cdi[:, :-1, :])
-    gk = ((_lane_shift(bc, bj_glo[1:b + 1], bj_ghi[1:b + 1], 1)
-           - _lane_shift(bc, bj_glo[1:b + 1], bj_ghi[1:b + 1], -1))
-          * (cdk[1:b + 1, 1:] - cdk[1:b + 1, :-1]))
-    tf = bc * (15.0 * d1 - dbig) + q * (gi + gk)            # (b, J+1, n)
+    if pd is not None:
+        gi = pd[2] * (cdi[:, 1:, :] - cdi[:, :-1, :])
+        gk = pd[3] * (cdk[1:b + 1, 1:] - cdk[1:b + 1, :-1])
+        tf = bc * (15.0 * d1 - dbig) + (gi + gk)            # (b, J+1, n)
+    else:
+        gi = (ebj[2:] - ebj[:-2]) * (cdi[:, 1:, :] - cdi[:, :-1, :])
+        gk = ((_lane_shift(bc, bj_glo[1:b + 1], bj_ghi[1:b + 1], 1)
+               - _lane_shift(bc, bj_glo[1:b + 1], bj_ghi[1:b + 1], -1))
+              * (cdk[1:b + 1, 1:] - cdk[1:b + 1, :-1]))
+        tf = bc * (15.0 * d1 - dbig) + q * (gi + gk)        # (b, J+1, n)
     if MXU_JDIFF:
         ax = ax + _jdiff_dot(tf, J, [(1, 1.0), (0, -1.0)])
     else:
@@ -385,15 +428,24 @@ def _flux_ax(xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
     cdjc = cdj[1:b + 1]
     cdi_m1 = _lane_shift(cdic, cdi_glo[:, 1:J + 1], cdi_ghi[:, 1:J + 1], -1)
     cdj_m1 = _lane_shift(cdjc, cdj_glo[1:b + 1], cdj_ghi[1:b + 1], -1)
-    gi = (ebk[2:, 1:J + 1] - ebk[:-2, 1:J + 1]) * (cdic - cdi_m1)
-    gj = (ebk[1:b + 1, 2:] - ebk[1:b + 1, :-2]) * (cdjc - cdj_m1)
-    tf = bc * (15.0 * d1 - dbig) + q * (gi + gj)            # (b, J, n)
-    gi_t = ((ebk_top[2:, 1:J + 1] - ebk_top[:-2, 1:J + 1])
-            * (cdi_ghi[:, 1:J + 1] - cdic[..., n - 1:]))
-    gj_t = ((ebk_top[1:b + 1, 2:] - ebk_top[1:b + 1, :-2])
-            * (cdj_ghi[1:b + 1] - cdjc[..., n - 1:]))
-    tf_top = (ebk_top[1:b + 1, 1:J + 1]
-              * (15.0 * d1_top - dbig_top) + q * (gi_t + gj_t))
+    if pd is not None:
+        gi = pd[4] * (cdic - cdi_m1)
+        gj = pd[5] * (cdjc - cdj_m1)
+        tf = bc * (15.0 * d1 - dbig) + (gi + gj)            # (b, J, n)
+        gi_t = pd[6] * (cdi_ghi[:, 1:J + 1] - cdic[..., n - 1:])
+        gj_t = pd[7] * (cdj_ghi[1:b + 1] - cdjc[..., n - 1:])
+        tf_top = (ebk_top[1:b + 1, 1:J + 1]
+                  * (15.0 * d1_top - dbig_top) + (gi_t + gj_t))
+    else:
+        gi = (ebk[2:, 1:J + 1] - ebk[:-2, 1:J + 1]) * (cdic - cdi_m1)
+        gj = (ebk[1:b + 1, 2:] - ebk[1:b + 1, :-2]) * (cdjc - cdj_m1)
+        tf = bc * (15.0 * d1 - dbig) + q * (gi + gj)        # (b, J, n)
+        gi_t = ((ebk_top[2:, 1:J + 1] - ebk_top[:-2, 1:J + 1])
+                * (cdi_ghi[:, 1:J + 1] - cdic[..., n - 1:]))
+        gj_t = ((ebk_top[1:b + 1, 2:] - ebk_top[1:b + 1, :-2])
+                * (cdj_ghi[1:b + 1] - cdjc[..., n - 1:]))
+        tf_top = (ebk_top[1:b + 1, 1:J + 1]
+                  * (15.0 * d1_top - dbig_top) + q * (gi_t + gj_t))
     ax = ax + _lane_shift(tf, None, tf_top, 1) - tf
     return ax
 
@@ -434,7 +486,7 @@ def _flux_ax_main_only(xj, xglo, xghi, ebi, ebj, ebk, ebk_top, b, J):
 # ---------------------------------------------------------------------------
 
 def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
-                kperiodic=False, a_alpha=0.0):
+                kperiodic=False, a_alpha=0.0, prediff=False):
     """Shared fv4 stencil body on a (bi, bj, n) tile.
 
     mode: 'apply' -> Ax; 'residual' -> rhs - Ax;
@@ -456,6 +508,10 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
     """
     xw_ref, bi_ref, bj_ref, bk_ref, bktop_ref = refs[:5]
     k = 5
+    pd_refs = None
+    if prediff:
+        pd_refs = refs[5:13]
+        k = 13
     rhs_ref = dinv_ref = alpha_ref = None
     if a_alpha:
         alpha_ref = refs[k]
@@ -497,7 +553,16 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
     ebj = bj_ref[:, 4:bj + 5, :]       # (bi+2, bj+1, n)
     ebk = bk_ref[:, 3:bj + 5, :]       # (bi+2, bj+2, n)
     ebk_top = bktop_ref[:, 3:bj + 5, :]
-    if kperiodic:
+    pd = None
+    if prediff:
+        # the tangential beta differences arrive precomputed (kgd); the
+        # beta lane ghosts they were built from are baked in at MGBuild
+        bi_glo = bi_ghi = bj_glo = bj_ghi = None
+        pd = (pd_refs[0][:, 4:bj + 4, :], pd_refs[1][:, 4:bj + 4, :],
+              pd_refs[2][:, 4:bj + 5, :], pd_refs[3][:, 4:bj + 5, :],
+              pd_refs[4][:, 4:bj + 4, :], pd_refs[5][:, 4:bj + 4, :],
+              pd_refs[6][:, 4:bj + 4, :], pd_refs[7][:, 4:bj + 4, :])
+    elif kperiodic:
         bi_glo = ebi[..., n - 1:]
         bi_ghi = ebi[..., :1]
         bj_glo = ebj[..., n - 1:]
@@ -510,7 +575,7 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
 
     ax = (-b_h2inv / 12.0) * _flux_ax(
         xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
-        ebk, ebk_top, bi, bj)
+        ebk, ebk_top, bi, bj, pd=pd)
     if a_alpha:
         ax = ax + a_alpha * alpha_ref[...] * xj[2:2 + bi, 2:2 + bj, :]
 
@@ -529,16 +594,28 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
     out_ref[...] = xc + dinv_ref[...] * (rhs_ref[...] - ax)
 
 
+def _prediff_specs(bi: int, bj: int, n: int, bmap):
+    """BlockSpecs for the 8 kgd operands (kernel_beta_prediff order):
+    i-face diffs ride the (bi+1)-row face window, j/k-face diffs the
+    bi-row cell window; all share the 8-aligned (bj+8) sublane window."""
+    E = pl.Element
+    fspec = pl.BlockSpec((E(bi + 1), E(bj + 8), E(n)), bmap)
+    cspec = pl.BlockSpec((E(bi), E(bj + 8), E(n)), bmap)
+    tspec = pl.BlockSpec((E(bi), E(bj + 8), E(1)), bmap)
+    return [fspec, fspec, cspec, cspec, cspec, cspec, tspec, tspec]
+
+
 def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
     n = level.dim
-    bi, bj = tile_shape(n)
+    prediff = getattr(level, "kgd", None) is not None
+    bi, bj = tile_shape(n, prediff)
     nti, ntj = n // bi, n // bj
     # note: parity enters only through which kdinv field rides in `dinv` —
     # both half-sweeps share ONE compiled kernel
     a_alpha = cfg.a if cfg.helmholtz else 0.0
     kernel = functools.partial(
         _fv4_kernel, n=n, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
-        b_h2inv=cfg.b * level.h2inv, a_alpha=a_alpha)
+        b_h2inv=cfg.b * level.h2inv, a_alpha=a_alpha, prediff=prediff)
 
     E = pl.Element
 
@@ -564,6 +641,9 @@ def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
         pl.BlockSpec((E(bi + 2), E(bj + 8), E(1)), bmap),
     ]
     args = [x, level.kbi, level.kbj, level.kbk, level.kbk_top]
+    if prediff:
+        in_specs += _prediff_specs(bi, bj, n, bmap)
+        args += list(level.kgd)
     tile_spec = pl.BlockSpec((bi, bj, n), lambda ti, tj: (ti, tj, 0))
     if a_alpha:
         in_specs.append(tile_spec)
@@ -587,7 +667,7 @@ def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
     )(*args)
 
 
-def tile_shape_local(ni: int, nj: int, nk: int):
+def tile_shape_local(ni: int, nj: int, nk: int, prediff: bool = False):
     """(bi, bj) for a PER-SHARD (ni, nj, nk) block in ext mode. Looser than
     ``tile_shape``: no >= 2-tile minimum (the first/last-tile masks are
     gone — ghosts are pre-filled), only divisibility + the sublane
@@ -599,7 +679,7 @@ def tile_shape_local(ni: int, nj: int, nk: int):
         for bi in (64, 32, 16, 8, 4):
             if bi > ni or ni % bi:
                 continue
-            if _vmem_bytes(nk, bi, bj) > _VMEM_BUDGET:
+            if _vmem_bytes(nk, bi, bj, prediff) > _budget(prediff):
                 continue
             key = (bi * bj, bj)
             if best is None or key > best[0]:
@@ -609,7 +689,7 @@ def tile_shape_local(ni: int, nj: int, nk: int):
 
 def fv4_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
                  b_h2inv: float, kperiodic: bool = False,
-                 a_alpha: float = 0.0, alpha=None):
+                 a_alpha: float = 0.0, alpha=None, kgd=None):
     """Pallas call on ONE shard's pre-extended block (the shard_map body of
     the distributed fast path, parallel/shard_kernels.py).
 
@@ -620,13 +700,14 @@ def fv4_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
     rhs/dinv: (ni, nj, nk) or None per mode.
     """
     ni, nj, nk = x_ext.shape[0] - 4, x_ext.shape[1] - 16, x_ext.shape[2]
-    ts = tile_shape_local(ni, nj, nk)
+    ts = tile_shape_local(ni, nj, nk, kgd is not None)
     assert ts is not None, (ni, nj, nk)
     bi, bj = ts
     nti, ntj = ni // bi, nj // bj
     kernel = functools.partial(
         _fv4_kernel, n=nk, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
-        b_h2inv=b_h2inv, ext=True, kperiodic=kperiodic, a_alpha=a_alpha)
+        b_h2inv=b_h2inv, ext=True, kperiodic=kperiodic, a_alpha=a_alpha,
+        prediff=kgd is not None)
 
     E = pl.Element
 
@@ -641,6 +722,9 @@ def fv4_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
         pl.BlockSpec((E(bi + 2), E(bj + 8), E(1)), xmap),
     ]
     args = [x_ext, kbi, kbj, kbk, kbk_top]
+    if kgd is not None:
+        in_specs += _prediff_specs(bi, bj, nk, xmap)
+        args += list(kgd)
     tile_spec = pl.BlockSpec((bi, bj, nk), lambda ti, tj: (ti, tj, 0))
     if a_alpha:
         in_specs.append(tile_spec)
@@ -689,7 +773,7 @@ def _fv4_call_single_ext(level: Level, x, rhs, dinv, cfg: SolverConfig,
                         rhs, dinv, mode, cfg.b * level.h2inv,
                         kperiodic=cfg.bc == BC.PERIODIC,
                         a_alpha=cfg.a if cfg.helmholtz else 0.0,
-                        alpha=level.alpha)
+                        alpha=level.alpha, kgd=getattr(level, "kgd", None))
 
 
 # Dirichlet single-chip A/B switch: masked in-kernel ghost synthesis
@@ -746,3 +830,38 @@ def kernel_beta_views(beta_i_ext, beta_j_ext, beta_k_ext):
     kbk = padj(beta_k_ext[:, :, :-1], 3)
     kbk_top = padj(beta_k_ext[:, :, -1:], 3)
     return kbi, kbj, kbk, kbk_top
+
+
+def kernel_beta_prediff(beta_i_ext, beta_j_ext, beta_k_ext):
+    """Precompute the mixed-flux operands (Level.kgd; see PREDIFF): for
+    each face the two tangential central differences of its coefficient,
+    times the 0.25 mixed-flux factor (a power of two — folding it is
+    bitwise-neutral). The tangential ghosts baked into beta_*_ext
+    (extrapolate_betas quintic, or periodic wrap) supply the boundary
+    values, so no lane-ghost synthesis is needed at sweep time.
+
+    Layouts mirror kernel_beta_views (trailing dim exactly n, j dim
+    padded to n+8) with the live j rows at lead offset +4 (cells 0..n-1,
+    or j-faces 0..n for dji/djk):
+
+    dij/dik (n+1, n+8, n): i-face coefficient j-/k-differences
+    dji/djk (n, n+8, n):   j-face (face axis in sublanes) i-/k-diffs
+    dki/dkj (n, n+8, n) + dki_top/dkj_top (n, n+8, 1): k-face (low
+        faces + top plane, like kbk) i-/j-diffs
+    """
+    n = beta_i_ext.shape[1] - 2
+    q = 0.25
+
+    def padj(a, lead=4):
+        pad_hi = (n + 8) - lead - a.shape[1]
+        return jnp.pad(a, ((0, 0), (lead, pad_hi), (0, 0)))
+
+    dij = padj(q * (beta_i_ext[:, 2:, 1:-1] - beta_i_ext[:, :-2, 1:-1]))
+    dik = padj(q * (beta_i_ext[:, 1:-1, 2:] - beta_i_ext[:, 1:-1, :-2]))
+    dji = padj(q * (beta_j_ext[2:, :, 1:-1] - beta_j_ext[:-2, :, 1:-1]))
+    djk = padj(q * (beta_j_ext[1:-1, :, 2:] - beta_j_ext[1:-1, :, :-2]))
+    dki_f = q * (beta_k_ext[2:, 1:-1, :] - beta_k_ext[:-2, 1:-1, :])
+    dkj_f = q * (beta_k_ext[1:-1, 2:, :] - beta_k_ext[1:-1, :-2, :])
+    return (dij, dik, dji, djk, padj(dki_f[:, :, :-1]),
+            padj(dkj_f[:, :, :-1]), padj(dki_f[:, :, -1:]),
+            padj(dkj_f[:, :, -1:]))

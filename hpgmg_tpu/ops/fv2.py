@@ -30,7 +30,7 @@ class FV2(base.RadiusOneKernelMixin, base.OperatorSuite):
     interpolation_fcycle = "v2"
     bc_order = 2
     gsrb_num_smooths = 3
-    chebyshev_degree = 4
+    chebyshev_degree = 6  # operators.fv2.c:136
     taps_key = "v2"
 
     def apply_op(self, level: Level, x: jax.Array, cfg: SolverConfig) -> jax.Array:

@@ -205,10 +205,16 @@ class FV4(base.OperatorSuite):
         # both OOMs the build at 512 and leaves the device unable to
         # launch Mosaic kernels afterwards.
         if kernel_views_eligible(cfg, level.dim):
+            from hpgmg_tpu.kernels import stencils
+
             kbi, kbj, kbk, kbk_top = kernel_beta_views(
                 lv.beta_i, lv.beta_j, lv.beta_k)
             lv = dataclasses.replace(lv, kbi=kbi, kbj=kbj, kbk=kbk,
                                      kbk_top=kbk_top)
+            if stencils.prediff_active(level.dim):
+                lv = dataclasses.replace(
+                    lv, kgd=stencils.kernel_beta_prediff(
+                        lv.beta_i, lv.beta_j, lv.beta_k))
         lv = rebuild_blackbox(self, lv, cfg, colors=4)
         if lv.kbi is not None:
             from hpgmg_tpu.core.level import rb_mask

@@ -187,7 +187,8 @@ def shard_hierarchy(mesh: Mesh, hier, cfg=None):
             # fv4-layout views: the distributed radius-2 fast path
             kbi, kbj, kbk, kbk_top, kdinv = build_sharded_views(mesh, lv)
             kviews = dict(kbi=kbi, kbj=kbj, kbk=kbk, kbk_top=kbk_top,
-                          kdinv=kdinv, ksharded=True)
+                          kdinv=kdinv, ksharded=True,
+                          kgd=None)  # global-layout kgd unusable per-shard
         elif (cfg is not None and lv.kernel_suite is not None
                 and not replicated and lv.dinv is not None
                 and sharded_r1_eligible(mesh, lv.dim, cfg,
@@ -222,11 +223,13 @@ def shard_hierarchy(mesh: Mesh, hier, cfg=None):
             if lv.kdinv is not None:
                 kw["kdinv"] = tuple(jax.device_put(d, rep)
                                     for d in lv.kdinv)
+            if getattr(lv, "kgd", None) is not None:
+                kw["kgd"] = tuple(jax.device_put(d, rep) for d in lv.kgd)
         else:
             # sharded level the kernels cannot serve: the single-chip views
             # would ride along as dead weight — drop them (XLA path)
             kw.update(kbi=None, kbj=None, kbk=None, kbk_top=None,
-                      kdinv=None, kernel_suite=None)
+                      kdinv=None, kernel_suite=None, kgd=None)
         new_levels.append(dataclasses.replace(lv, **kw))
     return Hierarchy(levels=new_levels)
 

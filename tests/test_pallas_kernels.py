@@ -83,7 +83,7 @@ def test_apply_matches_xla_interior_j_tiles(setup, monkeypatch):
     (16, 24) tiling at n=48 only has first/last j-tiles)."""
     cfg, prob, hier, op, x = setup
     lv = hier.levels[0]
-    monkeypatch.setattr(K, "tile_shape", lambda n: (16, 8))
+    monkeypatch.setattr(K, "tile_shape", lambda n, *a, **kw: (16, 8))
     ref = op.apply_op(lv, x, dataclasses_xla(cfg))
     out = K.fv4_apply_pallas(lv, x, cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -200,5 +200,40 @@ def test_helmholtz_matches_xla():
     rhs = prob.f
     ref_g = x + rb_mask(32, 0, x.dtype) * lv.dinv * (rhs - ax)
     out_g = K.fv4_gsrb_sweep_pallas(lv, x, rhs, cfg, 0)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g),
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_prediff_matches_xla(periodic):
+    """PREDIFF variant: the mixed-flux tangential beta differences arrive
+    precomputed (Level.kgd, 0.25 factor folded — bitwise-neutral power of
+    two) instead of being recomputed from the beta windows every sweep
+    (docs/GSRB_VPU.md). Covers the masked Dirichlet path and the
+    pre-extended periodic path."""
+    from hpgmg_tpu.core.config import BC
+
+    K.INTERPRET = True
+    old = K.PREDIFF
+    K.PREDIFF = True
+    try:
+        cfg = SolverConfig(op="fv4", a=0.0, dtype=jnp.float64,
+                           kernels="pallas",
+                           bc=BC.PERIODIC if periodic else BC.DIRICHLET)
+        prob = init_problem_fv(48, dtype=jnp.float64, periodic=periodic)
+        hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg)
+        op = get_suite("fv4")
+        lv = hier.levels[0]
+        assert lv.kgd is not None and len(lv.kgd) == 8
+    finally:
+        K.PREDIFF = old
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((48, 48, 48)))
+    ref = op.apply_op(lv, x, dataclasses_xla(cfg))
+    out = K.fv4_apply_pallas(lv, x, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-10)
+    ax = op.apply_op(lv, x, dataclasses_xla(cfg))
+    ref_g = x + rb_mask(48, 1, x.dtype) * lv.dinv * (prob.f - ax)
+    out_g = K.fv4_gsrb_sweep_pallas(lv, x, prob.f, cfg, 1)
     np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g),
                                rtol=1e-12, atol=1e-12)
