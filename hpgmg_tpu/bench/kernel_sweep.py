@@ -30,7 +30,7 @@ import jax.numpy as jnp
 def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
                 mxu: bool = False, opname: str = "fv4",
                 kernels: str = "auto", probe_main_only: bool = False,
-                prediff: bool = False) -> float:
+                prediff: bool = False, roll_prim: bool = False) -> float:
     """Seconds per HALF-sweep."""
     import hpgmg_tpu.kernels.stencils as K
     from hpgmg_tpu.core.config import BottomSolver, SolverConfig
@@ -57,9 +57,11 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
     old = K.SINGLE_EXT
     old_mxu = K.MXU_JDIFF
     old_probe = K.PROBE_MAIN_ONLY
+    old_roll = K.ROLL_PRIM
     K.SINGLE_EXT = ext
     K.MXU_JDIFF = mxu
     K.PROBE_MAIN_ONLY = probe_main_only
+    K.ROLL_PRIM = roll_prim
     try:
         @jax.jit
         def chained(lv, x, rhs):
@@ -77,6 +79,7 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
         K.SINGLE_EXT = old
         K.MXU_JDIFF = old_mxu
         K.PROBE_MAIN_ONLY = old_probe
+        K.ROLL_PRIM = old_roll
         K.PREDIFF = old_prediff
         K.PREDIFF_MAX_DIM = old_maxdim
     nhalf = 2 * cfg.resolved_num_smooths(op)
@@ -99,6 +102,8 @@ def main(argv=None):
     p.add_argument("--budget-mb", type=float, default=None,
                    help="override the tile-selection VMEM budget "
                         "(kernels/stencils.py _VMEM_BUDGET)")
+    p.add_argument("--roll-prim", action="store_true",
+                   help="also time the pltpu.roll lane-shift variant")
     p.add_argument("--op", default="fv4",
                    choices=["fv4", "fv7pt", "fv2", "27pt"])
     args = p.parse_args(argv)
@@ -136,6 +141,10 @@ def main(argv=None):
             t_d = time_sweeps(n, ext=False, reps=args.reps, prediff=True)
             line += (f" | prediff {t_d * 1e6:8.1f} us "
                      f"(prediff/masked {t_d / t_mask:5.2f})")
+        if args.roll_prim:
+            t_r = time_sweeps(n, ext=False, reps=args.reps, roll_prim=True)
+            line += (f" | roll-prim {t_r * 1e6:8.1f} us "
+                     f"(roll/masked {t_r / t_mask:5.2f})")
         print(line)
     return 0
 

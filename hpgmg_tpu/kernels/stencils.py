@@ -220,6 +220,11 @@ def _ext_tile_axis(w, b: int, t, nt: int, axis: int, pad: int):
     return mf * first + (1.0 - mf - ml) * mid + ml * last
 
 
+# A/B flag: lower the multi-lane-tile rotate in _lane_shift through the
+# pltpu.roll primitive instead of jnp.roll (kernel_sweep --roll-prim).
+ROLL_PRIM = False
+
+
 def _lane_shift(core, glo, ghi, dk: int):
     """Shifted lane read: ``core`` has exactly n lanes; ``glo``/``ghi`` are
     the 1-2 boundary ghost columns ordered [far, near] / [near, far].
@@ -242,7 +247,11 @@ def _lane_shift(core, glo, ghi, dk: int):
         g = lax.slice_in_dim(ghi, 0, dk, axis=-1)
         return jnp.concatenate(
             [lax.slice_in_dim(core, dk, n, axis=-1), g], axis=-1)
-    rolled = jnp.roll(core, -dk, axis=-1)
+    if ROLL_PRIM and not INTERPRET:
+        # pltpu.roll wants a non-negative shift: roll by -dk == n - dk
+        rolled = pltpu.roll(core, (-dk) % n, axis=core.ndim - 1)
+    else:
+        rolled = jnp.roll(core, -dk, axis=-1)
     idx = lax.broadcasted_iota(jnp.int32, core.shape, core.ndim - 1)
     out = rolled
     if dk > 0:
