@@ -30,7 +30,8 @@ import jax.numpy as jnp
 def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
                 mxu: bool = False, opname: str = "fv4",
                 kernels: str = "auto", probe_main_only: bool = False,
-                prediff: bool = False, roll_prim: bool = False) -> float:
+                prediff: bool = False, roll_prim: bool = False,
+                slab: bool = False) -> float:
     """Seconds per HALF-sweep."""
     import hpgmg_tpu.kernels.stencils as K
     from hpgmg_tpu.core.config import BottomSolver, SolverConfig
@@ -62,13 +63,30 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
     K.MXU_JDIFF = mxu
     K.PROBE_MAIN_ONLY = probe_main_only
     K.ROLL_PRIM = roll_prim
+    nhalf = 2 * cfg.resolved_num_smooths(op)
     try:
-        @jax.jit
-        def chained(lv, x, rhs):
-            def body(i, x):
-                return gsrb(op, lv, x, rhs + 0.0 * x[0, 0, 0], cfg)
+        if slab:
+            # single-chip drive of the slab kernel (the sharded fast
+            # path's per-shard cost, minus the ppermutes): BC-fill slabs
+            # rebuilt from x every half-sweep, constant parity (cost-
+            # equivalent: both parities share one compiled kernel)
+            @jax.jit
+            def chained(lv, x, rhs):
+                def body(i, x):
+                    ilo, ihi, jlo, jhi = K.single_chip_slabs(x, cfg.bc)
+                    return K.fv4_call_slab(
+                        x, ilo, ihi, jlo, jhi, lv.kbi, lv.kbj, lv.kbk,
+                        lv.kbk_top, rhs + 0.0 * x[0, 0, 0], lv.kdinv[0],
+                        "gsrb", cfg.b * lv.h2inv)
 
-            return jax.lax.fori_loop(0, reps, body, x)
+                return jax.lax.fori_loop(0, reps * nhalf, body, x)
+        else:
+            @jax.jit
+            def chained(lv, x, rhs):
+                def body(i, x):
+                    return gsrb(op, lv, x, rhs + 0.0 * x[0, 0, 0], cfg)
+
+                return jax.lax.fori_loop(0, reps, body, x)
 
         x = jnp.zeros_like(f)
         _ = float(chained(lv, x, f)[0, 0, 0])  # compile + warm
@@ -82,7 +100,6 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
         K.ROLL_PRIM = old_roll
         K.PREDIFF = old_prediff
         K.PREDIFF_MAX_DIM = old_maxdim
-    nhalf = 2 * cfg.resolved_num_smooths(op)
     return dt / (reps * nhalf)
 
 
@@ -104,6 +121,10 @@ def main(argv=None):
                         "(kernels/stencils.py _VMEM_BUDGET)")
     p.add_argument("--roll-prim", action="store_true",
                    help="also time the pltpu.roll lane-shift variant")
+    p.add_argument("--slab", action="store_true",
+                   help="also time the slab-operand kernel (the sharded "
+                        "fast path's per-shard mechanism, single-chip "
+                        "driven with BC-fill slabs)")
     p.add_argument("--op", default="fv4",
                    choices=["fv4", "fv7pt", "fv2", "27pt"])
     args = p.parse_args(argv)
@@ -145,6 +166,10 @@ def main(argv=None):
             t_r = time_sweeps(n, ext=False, reps=args.reps, roll_prim=True)
             line += (f" | roll-prim {t_r * 1e6:8.1f} us "
                      f"(roll/masked {t_r / t_mask:5.2f})")
+        if args.slab:
+            t_s = time_sweeps(n, ext=False, reps=args.reps, slab=True)
+            line += (f" | slab {t_s * 1e6:8.1f} us "
+                     f"(slab/masked {t_s / t_mask:5.2f})")
         print(line)
     return 0
 

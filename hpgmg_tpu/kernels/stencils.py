@@ -220,6 +220,24 @@ def _ext_tile_axis(w, b: int, t, nt: int, axis: int, pad: int):
     return mf * first + (1.0 - mf - ml) * mid + ml * last
 
 
+def _slab_tile_axis(w, glo, ghi, b: int, t, nt: int, axis: int, pad: int):
+    """``_ext_tile_axis`` with the 2-deep edge ghosts arriving as slab
+    OPERANDS (neighbor halos or precomputed BC fills — the distributed
+    slab path) instead of being synthesized from the window. ``glo`` /
+    ``ghi`` are 2 rows along ``axis`` ordered [far, near] / [near, far],
+    window-aligned on the other dims."""
+    def sl(lo, hi):
+        return lax.slice_in_dim(w, lo, hi, axis=axis)
+
+    first = jnp.concatenate([glo, sl(0, b + 2)], axis)
+    m = b + 2 * pad
+    last = jnp.concatenate([sl(m - (b + 2), m), ghi], axis)
+    mid = sl(pad - 2, pad + b + 2)
+    mf = (t == 0).astype(w.dtype)
+    ml = (t == nt - 1).astype(w.dtype)
+    return mf * first + (1.0 - mf - ml) * mid + ml * last
+
+
 # A/B flag: lower the multi-lane-tile rotate in _lane_shift through the
 # pltpu.roll primitive instead of jnp.roll (kernel_sweep --roll-prim).
 ROLL_PRIM = False
@@ -495,7 +513,7 @@ def _flux_ax_main_only(xj, xglo, xghi, ebi, ebj, ebk, ebk_top, b, J):
 # ---------------------------------------------------------------------------
 
 def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
-                kperiodic=False, a_alpha=0.0, prediff=False):
+                kperiodic=False, a_alpha=0.0, prediff=False, slab=False):
     """Shared fv4 stencil body on a (bi, bj, n) tile.
 
     mode: 'apply' -> Ax; 'residual' -> rhs - Ax;
@@ -515,12 +533,18 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
     path): solution lane ghosts are the opposite face's columns and the
     face-coefficient lane ghosts wrap instead of quintic extrapolation.
     """
-    xw_ref, bi_ref, bj_ref, bk_ref, bktop_ref = refs[:5]
-    k = 5
+    xw_ref = refs[0]
+    k = 1
+    ilo_ref = ihi_ref = jlo_ref = jhi_ref = None
+    if slab:
+        ilo_ref, ihi_ref, jlo_ref, jhi_ref = refs[1:5]
+        k = 5
+    bi_ref, bj_ref, bk_ref, bktop_ref = refs[k:k + 4]
+    k += 4
     pd_refs = None
     if prediff:
-        pd_refs = refs[5:13]
-        k = 13
+        pd_refs = refs[k:k + 8]
+        k += 8
     rhs_ref = dinv_ref = alpha_ref = None
     if a_alpha:
         alpha_ref = refs[k]
@@ -536,7 +560,14 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
     ti = pl.program_id(0)
     tj = pl.program_id(1)
 
-    if ext:
+    if slab:
+        # masked-style windows over the UNEXTENDED local block; the 2-deep
+        # edge ghosts (neighbor halos / BC fills) ride as 4 slab operands
+        xi = _slab_tile_axis(xw_ref[...], ilo_ref[...], ihi_ref[...],
+                             bi, ti, nti, 0, 2)
+        xj = _slab_tile_axis(xi, jlo_ref[:, 0:2, :], jhi_ref[:, 0:2, :],
+                             bj, tj, ntj, 1, 8)          # (bi+4, bj+4, n)
+    elif ext:
         # window rows [ti*bi, ti*bi+bi+4) x [tj*bj, tj*bj+bj+16) of the
         # (ni+4, nj+16, n) pre-extended array; the tile's extended j rows
         # sit at in-window offset [6, bj+10) by the storage layout
@@ -755,6 +786,136 @@ def fv4_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=INTERPRET,
     )(*args)
+
+
+def tile_shape_slab(ni: int, nj: int, nk: int):
+    """(bi, bj) for the slab-operand kernel on a local (ni, nj, nk) block:
+    the masked-style clamped windows need >= 2 tiles per axis (distinct
+    first/last blend cases) and nj >= bj+16 / ni >= bi+4 so the clamped
+    window fits; VMEM like the masked kernel (slabs are thin)."""
+    best = None
+    for bj in (64, 48, 32, 24, 16, 8):
+        if nj % bj or nj // bj < 2 or nj < bj + 16:
+            continue
+        for bi in (64, 32, 16, 8, 4):
+            if ni % bi or ni // bi < 2 or ni < bi + 4:
+                continue
+            if _vmem_bytes(nk, bi, bj) > _VMEM_BUDGET:
+                continue
+            key = (bi * bj, bj)
+            if best is None or key > best[0]:
+                best = (key, (bi, bj))
+    return best[1] if best else None
+
+
+def fv4_call_slab(x, islab_lo, islab_hi, jslab_lo, jslab_hi,
+                  kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
+                  b_h2inv: float, kperiodic: bool = False,
+                  a_alpha: float = 0.0, alpha=None):
+    """Pallas call on ONE shard's UNEXTENDED block with the 2-deep edge
+    ghosts as 4 thin slab operands (the distributed slab fast path,
+    parallel/shard_kernels.py). Runs the masked-kernel window structure —
+    no pre-extended array materialization, no ext-mode window overhead
+    (ext measured 1.48x the masked kernel at 512 lanes).
+
+    x: (ni, nj, nk); islab_lo/hi: (2, nj, nk) rows [far, near]/[near,
+    far]; jslab_lo/hi: (ni+4, 8, nk) with the 2 live rows leading (the
+    i-extended j-face strips, so corner ghosts arrive transitively);
+    kbi/kbj/kbk/kbk_top: per-shard kernel-layout views (same layout as
+    the ext path / build_sharded_views); rhs/dinv: (ni, nj, nk) or None.
+    """
+    ni, nj, nk = x.shape
+    ts = tile_shape_slab(ni, nj, nk)
+    assert ts is not None, (ni, nj, nk)
+    bi, bj = ts
+    nti, ntj = ni // bi, nj // bj
+    kernel = functools.partial(
+        _fv4_kernel, n=nk, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
+        b_h2inv=b_h2inv, kperiodic=kperiodic, a_alpha=a_alpha, slab=True)
+
+    E = pl.Element
+
+    def xmap(ti, tj):
+        return (jnp.clip(ti * bi - 2, 0, ni - bi - 4),
+                8 * jnp.clip(tj * (bj // 8) - 1, 0, (nj - bj - 16) // 8), 0)
+
+    def imap(ti, tj):  # i slabs: window-aligned j offsets only
+        return (0, xmap(ti, tj)[1], 0)
+
+    def jmap(ti, tj):
+        # j slabs: the slab's leading axis is the i-EXTENDED axis (row r
+        # is cell r-2), so offset ti*bi covers the tile's extended rows
+        # [ti*bi-2, ti*bi+bi+2) for first/interior/last alike
+        return (ti * bi, 0, 0)
+
+    def bmap(ti, tj):
+        return (ti * bi, tj * bj, 0)
+
+    in_specs = [
+        pl.BlockSpec((E(bi + 4), E(bj + 16), E(nk)), xmap),
+        pl.BlockSpec((E(2), E(bj + 16), E(nk)), imap),
+        pl.BlockSpec((E(2), E(bj + 16), E(nk)), imap),
+        pl.BlockSpec((E(bi + 4), E(8), E(nk)), jmap),
+        pl.BlockSpec((E(bi + 4), E(8), E(nk)), jmap),
+        pl.BlockSpec((E(bi + 1), E(bj + 8), E(nk)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(nk)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(nk)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(1)), bmap),
+    ]
+    args = [x, islab_lo, islab_hi, jslab_lo, jslab_hi,
+            kbi, kbj, kbk, kbk_top]
+    tile_spec = pl.BlockSpec((bi, bj, nk), lambda ti, tj: (ti, tj, 0))
+    if a_alpha:
+        in_specs.append(tile_spec)
+        args.append(alpha)
+    if mode != "apply":
+        in_specs.append(tile_spec)
+        args.append(rhs)
+    if mode == "gsrb":
+        in_specs.append(tile_spec)
+        args.append(dinv)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nti, ntj),
+        in_specs=in_specs,
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((ni, nj, nk), x.dtype),
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=INTERPRET,
+    )(*args)
+
+
+def single_chip_slabs(x, bc: BC):
+    """BC-fill slabs for driving the slab kernel on one whole-domain
+    block (tests + the kernel_sweep A/B): i slabs from the quartic
+    Dirichlet fill or wrap; j slabs from the i-EXTENDED thin strips so
+    corners match the i-then-j apply_BCs_v4 order — all thin ops, no
+    n^3 materialization."""
+    n = x.shape[0]
+    if bc == BC.PERIODIC:
+        ilo, ihi = x[n - 2:, :, :], x[:2, :, :]
+    else:
+        g1, g2 = _v4_ghost_pair(x, 0, lo=True)
+        ilo = jnp.concatenate([g2, g1], axis=0)
+        g1, g2 = _v4_ghost_pair(x, 0, lo=False)
+        ihi = jnp.concatenate([g1, g2], axis=0)
+
+    def strip(j0, j1):
+        return jnp.concatenate(
+            [ilo[:, j0:j1], x[:, j0:j1], ihi[:, j0:j1]], axis=0)
+
+    nj = x.shape[1]
+    if bc == BC.PERIODIC:
+        jlo, jhi = strip(nj - 2, nj), strip(0, 2)
+    else:
+        g1, g2 = _v4_ghost_pair(strip(0, 4), 1, lo=True)
+        jlo = jnp.concatenate([g2, g1], axis=1)
+        g1, g2 = _v4_ghost_pair(strip(nj - 4, nj), 1, lo=False)
+        jhi = jnp.concatenate([g1, g2], axis=1)
+    pad8 = lambda a: jnp.pad(a, ((0, 0), (0, 6), (0, 0)))  # noqa: E731
+    return ilo, ihi, pad8(jlo), pad8(jhi)
 
 
 def _extend_ij_single(x, bc: BC):

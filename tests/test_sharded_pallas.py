@@ -294,3 +294,75 @@ def test_sharded_helmholtz_gsrb_matches_xla(interpret, name):
             shard_array(mesh, prob.f))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-12, atol=5e-13)
+
+
+@requires_8dev
+def test_sharded_slab_vs_ext_paths(interpret, monkeypatch):
+    """The slab fast path (thin-slab exchange + masked-window kernel,
+    stencils.fv4_call_slab) vs the ext fallback (materialized
+    pre-extended array) — both shard_map compositions must agree with
+    each other and the XLA path. At n=64 on the 4x2 mesh the local
+    16x32 blocks are slab-eligible; forcing tile_shape_slab -> None
+    exercises the ext fallback on the same shapes."""
+    cfg, hier, prob = _setup(64)
+    op = get_suite(cfg.op)
+    cfg_xla = SolverConfig(op="fv4", a=0.0, dtype=jnp.float64,
+                           kernels="xla")
+    lv = hier.levels[0]
+    x = prob.f / (1.0 + jnp.max(jnp.abs(prob.f)))
+    rhs = prob.f
+    ref = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg_xla))(lv, x, rhs)
+
+    mesh = make_mesh_ij()
+    assert stencils.tile_shape_slab(16, 32, 64) is not None
+    hier_s = shard_hierarchy(mesh, hier, cfg)
+    lvs = hier_s.levels[0]
+    x_s, rhs_s = shard_array(mesh, x), shard_array(mesh, rhs)
+    with active_mesh(mesh):
+        out_slab = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg))(
+            lvs, x_s, rhs_s)
+        monkeypatch.setattr(stencils, "tile_shape_slab",
+                            lambda *a: None)
+        out_ext = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg))(
+            lvs, x_s, rhs_s)
+    np.testing.assert_allclose(np.asarray(out_slab), np.asarray(ref),
+                               rtol=5e-12, atol=5e-13)
+    np.testing.assert_allclose(np.asarray(out_ext), np.asarray(ref),
+                               rtol=5e-12, atol=5e-13)
+
+
+def test_single_chip_slab_parity(interpret):
+    """fv4_call_slab with BC-fill slabs (single_chip_slabs) == the XLA
+    path on one whole-domain block, Dirichlet + periodic — the direct
+    harness behind the slab-vs-masked speed A/B (docs/GSRB_VPU.md)."""
+    import dataclasses
+
+    from hpgmg_tpu.core.config import BC
+    from hpgmg_tpu.core.level import rb_mask
+
+    for bc in (BC.DIRICHLET, BC.PERIODIC):
+        cfg = SolverConfig(op="fv4", a=0.0, dtype=jnp.float64,
+                           kernels="pallas", bc=bc)
+        cfg_x = dataclasses.replace(cfg, kernels="xla")
+        prob = init_problem_fv(48, dtype=jnp.float64,
+                               periodic=bc == BC.PERIODIC)
+        hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg)
+        lv = hier.levels[0]
+        op = get_suite("fv4")
+        x = jnp.asarray(
+            np.random.default_rng(9).standard_normal((48, 48, 48)))
+        ilo, ihi, jlo, jhi = stencils.single_chip_slabs(x, bc)
+        kper = bc == BC.PERIODIC
+        out = stencils.fv4_call_slab(
+            x, ilo, ihi, jlo, jhi, lv.kbi, lv.kbj, lv.kbk, lv.kbk_top,
+            None, None, "apply", cfg.b * lv.h2inv, kperiodic=kper)
+        ref = op.apply_op(lv, x, cfg_x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-10)
+        ax = op.apply_op(lv, x, cfg_x)
+        refg = x + rb_mask(48, 1, x.dtype) * lv.dinv * (prob.f - ax)
+        outg = stencils.fv4_call_slab(
+            x, ilo, ihi, jlo, jhi, lv.kbi, lv.kbj, lv.kbk, lv.kbk_top,
+            prob.f, lv.kdinv[1], "gsrb", cfg.b * lv.h2inv, kperiodic=kper)
+        np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
+                                   rtol=1e-12, atol=1e-12)
