@@ -120,6 +120,27 @@ def tile_shape_r1_local(ni: int, nj: int, nk: int, var7: bool = True):
     return best[1] if best else None
 
 
+def tile_shape_slab_r1(ni: int, nj: int, nk: int, var7: bool = True):
+    """(bi, bj) for the slab-operand radius-1 kernel on a local
+    (ni, nj, nk) block (the distributed fast path): masked-style clamped
+    windows need >= 2 tiles per axis (distinct first/last blend cases)
+    and nj >= bj+16 / ni >= bi+2 so the clamped window fits; VMEM like
+    the masked kernel (slabs are thin)."""
+    best = None
+    for bj in (64, 48, 32, 24, 16, 8):
+        if nj % bj or nj // bj < 2 or nj < bj + 16:
+            continue
+        for bi in (64, 32, 16, 8, 4):
+            if ni % bi or ni // bi < 2 or ni < bi + 2:
+                continue
+            if _vmem_bytes_r1(nk, bi, bj, var7) > _s._VMEM_BUDGET:
+                continue
+            key = (bi * bj, bj)
+            if best is None or key > best[0]:
+                best = (key, (bi, bj))
+    return best[1] if best else None
+
+
 def use_pallas_r1(cfg: SolverConfig, level: Level) -> bool:
     """Select the radius-1 Pallas path: kernel views attached by the
     suite's rebuild_operator (``level.kernel_suite`` set), Dirichlet
@@ -218,6 +239,25 @@ def _ext_tile_axis_r1(w, b: int, t, nt: int, axis: int, pad: int, taps):
     return mf * first + (1.0 - mf - ml) * mid + ml * last
 
 
+def _slab_tile_axis_r1(w, glo, ghi, b: int, t, nt: int, axis: int,
+                       pad: int):
+    """``_ext_tile_axis_r1`` with the 1-deep edge ghosts arriving as slab
+    OPERANDS (neighbor halos or precomputed BC fills — the distributed
+    slab path, stencils._slab_tile_axis analog) instead of being
+    synthesized from the window. ``glo``/``ghi`` are 1 row along
+    ``axis``, window-aligned on the other dims."""
+    def sl(lo, hi):
+        return lax.slice_in_dim(w, lo, hi, axis=axis)
+
+    first = jnp.concatenate([glo, sl(0, b + 1)], axis)
+    m = b + 2 * pad
+    last = jnp.concatenate([sl(m - (b + 1), m), ghi], axis)
+    mid = sl(pad - 1, pad + b + 1)
+    mf = (t == 0).astype(w.dtype)
+    ml = (t == nt - 1).astype(w.dtype)
+    return mf * first + (1.0 - mf - ml) * mid + ml * last
+
+
 def _lane_ghosts(xe, taps):
     """1-column k (lane) Dirichlet ghosts of an extended tile; the k axis
     spans the level so every tile holds both domain faces."""
@@ -236,7 +276,7 @@ def _lane_ghosts(xe, taps):
 # ---------------------------------------------------------------------------
 
 def _r1_kernel(*refs, n, bi, bj, nti, ntj, mode, suite, taps, b_h2inv,
-               a_alpha, const_a, ext=False, kperiodic=False):
+               a_alpha, const_a, ext=False, kperiodic=False, slab=False):
     """Shared radius-1 stencil body on a (bi, bj, n) tile.
 
     mode: 'apply' -> Ax; 'residual' -> rhs - Ax;
@@ -254,10 +294,14 @@ def _r1_kernel(*refs, n, bi, bj, nti, ntj, mode, suite, taps, b_h2inv,
     """
     xw_ref = refs[0]
     k = 1
+    ilo_ref = ihi_ref = jlo_ref = jhi_ref = None
+    if slab:
+        ilo_ref, ihi_ref, jlo_ref, jhi_ref = refs[1:5]
+        k = 5
     bi_ref = bj_ref = bk_ref = bktop_ref = None
     if suite == "var7":
-        bi_ref, bj_ref, bk_ref, bktop_ref = refs[1:5]
-        k = 5
+        bi_ref, bj_ref, bk_ref, bktop_ref = refs[k:k + 4]
+        k += 4
     rhs_ref = dinv_ref = alpha_ref = None
     if a_alpha:
         alpha_ref = refs[k]
@@ -273,7 +317,16 @@ def _r1_kernel(*refs, n, bi, bj, nti, ntj, mode, suite, taps, b_h2inv,
     ti = pl.program_id(0)
     tj = pl.program_id(1)
 
-    if ext:
+    if slab:
+        # masked-style windows over the UNEXTENDED local block; the
+        # 1-deep edge ghosts (neighbor halos / BC fills) ride as 4 slab
+        # operands (fv4 slab-mode analog, stencils._fv4_kernel)
+        xi = _slab_tile_axis_r1(xw_ref[...], ilo_ref[...], ihi_ref[...],
+                                bi, ti, nti, 0, 1)
+        xe = _slab_tile_axis_r1(xi, jlo_ref[:, 0:1, :],
+                                jhi_ref[:, 0:1, :],
+                                bj, tj, ntj, 1, 8)       # (bi+2, bj+2, n)
+    elif ext:
         # window rows [ti*bi, ti*bi+bi+2) x [tj*bj, tj*bj+bj+16) of the
         # (ni+2, nj+16, n) pre-extended array; the tile's extended j rows
         # sit at in-window offset [7, bj+9) by the storage layout
@@ -419,6 +472,116 @@ def r1_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
             vmem_limit_bytes=_s._VMEM_LIMIT),
         interpret=_s.INTERPRET,
     )(*args)
+
+
+def r1_call_slab(x, islab_lo, islab_hi, jslab_lo, jslab_hi,
+                 kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
+                 b_h2inv, suite: str, taps_key: str,
+                 kperiodic: bool = False, a_alpha: float = 0.0,
+                 const_a: float = 0.0, alpha=None):
+    """Pallas call on ONE shard's UNEXTENDED block with the 1-deep edge
+    ghosts as 4 thin slab operands (the distributed radius-1 slab fast
+    path, parallel/shard_kernels.py — fv4_call_slab analog): no
+    (ni+2, nj+16) array materialization per application.
+
+    x: (ni, nj, nk); islab_lo/hi: (1, nj, nk); jslab_lo/hi: (ni+2, 8, nk)
+    with the 1 live row leading (the i-extended j-face strips, so corner
+    ghosts arrive transitively); kbi/kbj/kbk/kbk_top: per-shard
+    kernel-layout views (r1_beta_views / build_sharded_views_r1 layout);
+    rhs/dinv/alpha: (ni, nj, nk) or None per mode.
+    """
+    ni, nj, nk = x.shape
+    var7 = suite == "var7"
+    ts = tile_shape_slab_r1(ni, nj, nk, var7)
+    assert ts is not None, (ni, nj, nk)
+    bi, bj = ts
+    nti, ntj = ni // bi, nj // bj
+    kernel = functools.partial(
+        _r1_kernel, n=nk, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
+        suite=suite, taps=_TAPS[taps_key], b_h2inv=b_h2inv,
+        a_alpha=a_alpha, const_a=const_a, slab=True, kperiodic=kperiodic)
+
+    E = pl.Element
+
+    def xmap(ti, tj):
+        # sublane (j) window offsets must be PROVABLY x8 for Mosaic:
+        # clip in units of 8 and scale after (stencils.py xmap)
+        return (jnp.clip(ti * bi - 1, 0, ni - bi - 2),
+                8 * jnp.clip(tj * (bj // 8) - 1, 0, (nj - bj - 16) // 8),
+                0)
+
+    def imap(ti, tj):  # i slabs: window-aligned j offsets only
+        return (0, xmap(ti, tj)[1], 0)
+
+    def jmap(ti, tj):
+        # j slabs: the slab's leading axis is the i-EXTENDED axis (row r
+        # is cell r-1), so offset ti*bi covers the tile's extended rows
+        # [ti*bi-1, ti*bi+bi+1) for first/interior/last alike
+        return (ti * bi, 0, 0)
+
+    def bmap(ti, tj):
+        return (ti * bi, tj * bj, 0)
+
+    in_specs = [
+        pl.BlockSpec((E(bi + 2), E(bj + 16), E(nk)), xmap),
+        pl.BlockSpec((E(1), E(bj + 16), E(nk)), imap),
+        pl.BlockSpec((E(1), E(bj + 16), E(nk)), imap),
+        pl.BlockSpec((E(bi + 2), E(8), E(nk)), jmap),
+        pl.BlockSpec((E(bi + 2), E(8), E(nk)), jmap),
+    ]
+    args = [x, islab_lo, islab_hi, jslab_lo, jslab_hi]
+    vspecs, vargs = _view_specs_and_args((kbi, kbj, kbk, kbk_top), var7,
+                                         bi, bj, nk, bmap)
+    in_specs += vspecs
+    args += vargs
+    tile_spec = pl.BlockSpec((bi, bj, nk), lambda ti, tj: (ti, tj, 0))
+    if a_alpha:
+        in_specs.append(tile_spec)
+        args.append(alpha)
+    if mode != "apply":
+        in_specs.append(tile_spec)
+        args.append(rhs)
+    if mode == "gsrb":
+        in_specs.append(tile_spec)
+        args.append(dinv)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nti, ntj),
+        in_specs=in_specs,
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((ni, nj, nk), x.dtype),
+        compiler_params=None if _s.INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=_s._VMEM_LIMIT),
+        interpret=_s.INTERPRET,
+    )(*args)
+
+
+def single_chip_slabs_r1(x, bc: BC, taps_key: str):
+    """BC-fill slabs for driving the slab kernel on one whole-domain
+    block (tests + single-chip A/Bs): i slabs from the 2-tap Dirichlet
+    ghost or wrap; j slabs from the i-EXTENDED thin strips so corners
+    match the i-then-j ghost-fill order — all thin ops, no n^3
+    materialization (stencils.single_chip_slabs analog)."""
+    taps = _TAPS[taps_key]
+    n_i, n_j = x.shape[0], x.shape[1]
+    if bc == BC.PERIODIC:
+        ilo, ihi = x[n_i - 1:, :, :], x[:1, :, :]
+    else:
+        ilo = _ghost_row(x, 0, True, taps)
+        ihi = _ghost_row(x, 0, False, taps)
+
+    def strip(j0, j1):
+        return jnp.concatenate(
+            [ilo[:, j0:j1], x[:, j0:j1], ihi[:, j0:j1]], axis=0)
+
+    if bc == BC.PERIODIC:
+        jlo, jhi = strip(n_j - 1, n_j), strip(0, 1)
+    else:
+        jlo = _ghost_row(strip(0, 2), 1, True, taps)
+        jhi = _ghost_row(strip(n_j - 2, n_j), 1, False, taps)
+    pad8 = lambda a: jnp.pad(a, ((0, 0), (0, 7), (0, 0)))  # noqa: E731
+    return ilo, ihi, pad8(jlo), pad8(jhi)
 
 
 def _r1_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str,

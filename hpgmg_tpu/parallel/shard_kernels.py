@@ -220,6 +220,57 @@ def extend_for_kernel_r1(xl, mesh: Mesh, periodic: bool, taps):
     return jnp.pad(xe, ((0, 0), (7, 7), (0, 0)))
 
 
+def slabs_for_kernel_r1(xl, mesh: Mesh, periodic: bool, taps):
+    """Radius-1 analog of ``slabs_for_kernel``: thin 1-deep edge slabs
+    for the slab-operand kernel (stencils_r1.r1_call_slab) — the
+    exchange moves ONLY the 4 halo slabs. i slabs via ppermute/2-tap BC
+    fill; j slabs are the i-EXTENDED j-face strips (corner ghosts arrive
+    transitively — the NO_CORNERS schedule). Returns ilo (1, nlj, nk),
+    ihi, jlo (nli+2, 8, nk), jhi."""
+    t1, t2 = taps
+    nli, nlj = xl.shape[0], xl.shape[1]
+
+    def bc_row(src, axis, lo):
+        m = src.shape[axis]
+        i1, i2 = (0, 1) if lo else (m - 1, m - 2)
+        g = t1 * lax.slice_in_dim(src, i1, i1 + 1, axis=axis)
+        if t2:
+            g = g + t2 * lax.slice_in_dim(src, i2, i2 + 1, axis=axis)
+        return g
+
+    def halo(face_lo, face_hi, name, bc_lo, bc_hi, wrap_lo, wrap_hi):
+        n_sh = mesh.shape[name]
+        if n_sh == 1:
+            return ((wrap_lo(), wrap_hi()) if periodic
+                    else (bc_lo(), bc_hi()))
+        fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+        bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+        glo = lax.ppermute(face_hi, name, fwd)  # from my -1 neighbor
+        ghi = lax.ppermute(face_lo, name, bwd)  # from my +1 neighbor
+        if not periodic:
+            idx = lax.axis_index(name)
+            glo = jnp.where(idx == 0, bc_lo(), glo)
+            ghi = jnp.where(idx == n_sh - 1, bc_hi(), ghi)
+        return glo, ghi
+
+    ilo, ihi = halo(
+        xl[:1], xl[nli - 1:], "x",
+        lambda: bc_row(xl, 0, True), lambda: bc_row(xl, 0, False),
+        lambda: xl[nli - 1:], lambda: xl[:1])
+
+    def strip(j0, j1):  # i-extended thin j strip (nli+2, j1-j0, nk)
+        return jnp.concatenate(
+            [ilo[:, j0:j1], xl[:, j0:j1], ihi[:, j0:j1]], axis=0)
+
+    jlo, jhi = halo(
+        strip(0, 1), strip(nlj - 1, nlj), "y",
+        lambda: bc_row(strip(0, 2), 1, True),
+        lambda: bc_row(strip(nlj - 2, nlj), 1, False),
+        lambda: strip(nlj - 1, nlj), lambda: strip(0, 1))
+    pad8 = lambda a: jnp.pad(a, ((0, 0), (0, 7), (0, 0)))  # noqa: E731
+    return ilo, ihi, pad8(jlo), pad8(jhi)
+
+
 def _extend_axis_sharded(xl, name: str, axis: int, mesh: Mesh,
                          periodic: bool = False):
     """Extend one sharded axis by 2 ghosts: neighbor halos via ppermute,
@@ -379,8 +430,12 @@ def r1_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
     """One distributed radius-1 kernel application (apply / residual /
     one GSRB half-sweep): radius-1 exchange-then-stencil in a single
     shard_map region (exchange_boundary.c:12-117 + the STAR-shape
-    radius-1 suites, operators.7pt.c:52-76)."""
-    from hpgmg_tpu.kernels.stencils_r1 import _TAPS, r1_call_ext
+    radius-1 suites, operators.7pt.c:52-76). Per-shard mechanism chosen
+    statically by block shape, like ``fv4_sharded``: slab (thin 1-deep
+    halo slabs + masked-window kernel, preferred) or ext (materialized
+    pre-extended array, small-block fallback)."""
+    from hpgmg_tpu.kernels.stencils_r1 import (_TAPS, r1_call_ext,
+                                               tile_shape_slab_r1)
 
     b_h2inv = cfg.b * level.h2inv
     periodic = cfg.bc == BC.PERIODIC
@@ -389,6 +444,9 @@ def r1_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
     const_a = 0.0 if var7 else cfg.a
     a_alpha = (cfg.a if cfg.helmholtz else 0.0) if var7 else 0.0
     taps = _TAPS[taps_key]
+    sx, sy = mesh.shape["x"], mesh.shape["y"]
+    nli, nlj = level.dim // sx, level.dim // sy
+    use_slab = tile_shape_slab_r1(nli, nlj, level.dim, var7) is not None
     args = [x]
     if var7:
         args += [level.kbi, level.kbj, level.kbk, level.kbk_top]
@@ -412,6 +470,16 @@ def r1_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
             k += 1
         rhsl = rest[k] if mode != "apply" else None
         dl = rest[k + 1] if mode == "gsrb" else None
+        if use_slab:
+            from hpgmg_tpu.kernels.stencils_r1 import r1_call_slab
+
+            ilo, ihi, jlo, jhi = slabs_for_kernel_r1(xl, mesh, periodic,
+                                                     taps)
+            return r1_call_slab(xl, ilo, ihi, jlo, jhi, kbi, kbj, kbk,
+                                kbktop, rhsl, dl, mode, b_h2inv, suite,
+                                taps_key, kperiodic=periodic,
+                                const_a=const_a, a_alpha=a_alpha,
+                                alpha=alphal)
         xe = extend_for_kernel_r1(xl, mesh, periodic, taps)
         return r1_call_ext(xe, kbi, kbj, kbk, kbktop, rhsl, dl, mode,
                            b_h2inv, suite, taps_key, kperiodic=periodic,

@@ -160,3 +160,52 @@ def test_solve_identical_convergence(name):
     np.testing.assert_allclose(res["pallas"][0], res["xla"][0],
                                rtol=1e-10, atol=1e-12)
     assert abs(res["pallas"][1] - res["xla"][1]) < 1e-12
+
+
+def test_slab_call_matches_xla(setup):
+    """r1_call_slab with BC-fill slabs (single_chip_slabs_r1) == the XLA
+    path on one whole-domain block — the distributed slab fast path's
+    per-shard mechanism (stencils.single_chip_slabs / fv4 analog),
+    apply + gsrb modes."""
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    b_h2inv = cfg.b * lv.h2inv
+    var7 = op.name != "27pt"
+    suite = "var7" if var7 else "27pt"
+    const_a = 0.0 if var7 else cfg.a
+    assert K1.tile_shape_slab_r1(48, 48, 48, var7) is not None
+    slabs = K1.single_chip_slabs_r1(x, cfg.bc, op.taps_key)
+    views = ((lv.kbi, lv.kbj, lv.kbk, lv.kbk_top) if var7
+             else (None, None, None, None))
+    out = K1.r1_call_slab(x, *slabs, *views, None, None, "apply",
+                          b_h2inv, suite, op.taps_key, const_a=const_a)
+    ref = op.apply_op(lv, x, xla_cfg(cfg))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-10)
+    mask = rb_mask(lv.dim, 1, x.dtype)
+    refg = x + mask * lv.dinv * (prob.f - ref)
+    outg = K1.r1_call_slab(x, *slabs, *views, prob.f, lv.kdinv[1],
+                           "gsrb", b_h2inv, suite, op.taps_key,
+                           const_a=const_a)
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
+                               rtol=1e-12, atol=1e-10)
+
+
+def test_slab_call_periodic_matches_xla():
+    """Periodic slab mode: wrap slabs + in-kernel k wrap == XLA."""
+    name = "fv7pt"
+    cfg = SolverConfig(op=name, a=0.0, dtype=jnp.float64,
+                       kernels="pallas", bc=BC.PERIODIC)
+    prob = init_problem_fv(48, dtype=jnp.float64, periodic=True)
+    hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg)
+    lv = hier.levels[0]
+    op = get_suite(name)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((48, 48, 48)))
+    slabs = K1.single_chip_slabs_r1(x, BC.PERIODIC, op.taps_key)
+    out = K1.r1_call_slab(x, *slabs, lv.kbi, lv.kbj, lv.kbk, lv.kbk_top,
+                          None, None, "apply", cfg.b * lv.h2inv, "var7",
+                          op.taps_key, kperiodic=True)
+    ref = op.apply_op(lv, x, xla_cfg(cfg))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-10)

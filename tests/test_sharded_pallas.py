@@ -366,3 +366,41 @@ def test_single_chip_slab_parity(interpret):
             prob.f, lv.kdinv[1], "gsrb", cfg.b * lv.h2inv, kperiodic=kper)
         np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
                                    rtol=1e-12, atol=1e-12)
+
+
+@requires_8dev
+def test_sharded_r1_slab_vs_ext_paths(interpret, monkeypatch):
+    """Radius-1 slab fast path (thin 1-deep slab exchange + masked-window
+    kernel, stencils_r1.r1_call_slab) vs the ext fallback — both
+    shard_map compositions must agree with the XLA path (fv4
+    test_sharded_slab_vs_ext_paths analog). At n=64 on the 4x2 mesh the
+    16x32 local blocks are slab-eligible; forcing tile_shape_slab_r1 ->
+    None exercises the ext fallback on the same shapes."""
+    import dataclasses
+
+    from hpgmg_tpu.kernels import stencils_r1
+
+    cfg, hier, prob = _setup_r1("fv2")
+    op = get_suite("fv2")
+    cfg_xla = dataclasses.replace(cfg, kernels="xla")
+    lv = hier.levels[0]
+    x = prob.f / (1.0 + jnp.max(jnp.abs(prob.f)))
+    rhs = prob.f
+    ref = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg_xla))(lv, x, rhs)
+
+    mesh = make_mesh_ij()
+    assert stencils_r1.tile_shape_slab_r1(16, 32, 64) is not None
+    hier_s = shard_hierarchy(mesh, hier, cfg)
+    lvs = hier_s.levels[0]
+    x_s, rhs_s = shard_array(mesh, x), shard_array(mesh, rhs)
+    with active_mesh(mesh):
+        out_slab = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg))(
+            lvs, x_s, rhs_s)
+        monkeypatch.setattr(stencils_r1, "tile_shape_slab_r1",
+                            lambda *a, **k: None)
+        out_ext = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg))(
+            lvs, x_s, rhs_s)
+    np.testing.assert_allclose(np.asarray(out_slab), np.asarray(ref),
+                               rtol=5e-12, atol=5e-13)
+    np.testing.assert_allclose(np.asarray(out_ext), np.asarray(ref),
+                               rtol=5e-12, atol=5e-13)
