@@ -31,9 +31,10 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
                 mxu: bool = False, opname: str = "fv4",
                 kernels: str = "auto", probe_main_only: bool = False,
                 prediff: bool = False, roll_prim: bool = False,
-                slab: bool = False) -> float:
+                slab: bool = False, gsrb2: bool = False) -> float:
     """Seconds per HALF-sweep."""
     import hpgmg_tpu.kernels.stencils as K
+    import hpgmg_tpu.kernels.stencils_r1 as K1
     from hpgmg_tpu.core.config import BottomSolver, SolverConfig
     from hpgmg_tpu.core.hierarchy import build_hierarchy, slim_hierarchy
     from hpgmg_tpu.ops.base import get_suite
@@ -45,7 +46,9 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
                        bottom=BottomSolver.DIRECT, min_coarse_dim=8)
     old_prediff = K.PREDIFF
     old_maxdim = K.PREDIFF_MAX_DIM
+    old_gsrb2 = K1.GSRB2
     K.PREDIFF = prediff  # before build: rebuild_operator attaches kgd
+    K1.GSRB2 = gsrb2  # before build: rebuild_operator attaches k2
     if prediff:
         K.PREDIFF_MAX_DIM = max(K.PREDIFF_MAX_DIM, n)  # measure for real
     prob = init_problem_fv(n, dtype=dtype)
@@ -65,7 +68,30 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
     K.ROLL_PRIM = roll_prim
     nhalf = 2 * cfg.resolved_num_smooths(op)
     try:
-        if slab:
+        if slab and opname != "fv4":
+            # radius-1 slab kernel, single-chip driven (the r1 sharded
+            # fast path's per-shard mechanism, stencils_r1.r1_call_slab)
+            import hpgmg_tpu.kernels.stencils_r1 as K1
+
+            var7 = opname != "27pt"
+            suite = "var7" if var7 else "27pt"
+            const_a = 0.0 if var7 else cfg.a
+
+            @jax.jit
+            def chained(lv, x, rhs):
+                views = ((lv.kbi, lv.kbj, lv.kbk, lv.kbk_top) if var7
+                         else (None, None, None, None))
+
+                def body(i, x):
+                    slabs = K1.single_chip_slabs_r1(x, cfg.bc,
+                                                    op.taps_key)
+                    return K1.r1_call_slab(
+                        x, *slabs, *views, rhs + 0.0 * x[0, 0, 0],
+                        lv.kdinv[0], "gsrb", cfg.b * lv.h2inv, suite,
+                        op.taps_key, const_a=const_a)
+
+                return jax.lax.fori_loop(0, reps * nhalf, body, x)
+        elif slab:
             # single-chip drive of the slab kernel (the sharded fast
             # path's per-shard cost, minus the ppermutes): BC-fill slabs
             # rebuilt from x every half-sweep, constant parity (cost-
@@ -100,6 +126,7 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
         K.ROLL_PRIM = old_roll
         K.PREDIFF = old_prediff
         K.PREDIFF_MAX_DIM = old_maxdim
+        K1.GSRB2 = old_gsrb2
     return dt / (reps * nhalf)
 
 
@@ -125,6 +152,9 @@ def main(argv=None):
                    help="also time the slab-operand kernel (the sharded "
                         "fast path's per-shard mechanism, single-chip "
                         "driven with BC-fill slabs)")
+    p.add_argument("--gsrb2", action="store_true",
+                   help="also time the fused red+black double-sweep "
+                        "kernel (radius-1 suites; stencils_r1.GSRB2)")
     p.add_argument("--op", default="fv4",
                    choices=["fv4", "fv7pt", "fv2", "27pt"])
     args = p.parse_args(argv)
@@ -140,8 +170,21 @@ def main(argv=None):
                               kernels="pallas")
             t_x = time_sweeps(n, ext=False, reps=args.reps, opname=args.op,
                               kernels="xla")
-            print(f"n={n:4d} pallas {t_k * 1e6:8.1f} us/half-sweep | "
-                  f"xla {t_x * 1e6:8.1f} us | xla/pallas {t_x / t_k:5.2f}")
+            line = (f"n={n:4d} pallas {t_k * 1e6:8.1f} us/half-sweep | "
+                    f"xla {t_x * 1e6:8.1f} us | xla/pallas {t_x / t_k:5.2f}")
+            if args.slab:
+                t_s = time_sweeps(n, ext=False, reps=args.reps,
+                                  opname=args.op, kernels="pallas",
+                                  slab=True)
+                line += (f" | slab {t_s * 1e6:8.1f} us "
+                         f"(slab/masked {t_s / t_k:5.2f})")
+            if args.gsrb2:
+                t_2 = time_sweeps(n, ext=False, reps=args.reps,
+                                  opname=args.op, kernels="pallas",
+                                  gsrb2=True)
+                line += (f" | gsrb2 {t_2 * 1e6:8.1f} us "
+                         f"(gsrb2/masked {t_2 / t_k:5.2f})")
+            print(line)
         return 0
     for n in args.sizes:
         t_mask = time_sweeps(n, ext=False, reps=args.reps)

@@ -72,6 +72,13 @@ class Level:
     # kernels/stencils.py:PREDIFF is on; ordered
     # (dij, dik, dji, djk, dki, dkj, dki_top, dkj_top).
     kgd: Optional[tuple] = None
+    # pre-padded operand views for the fused red+black double-sweep
+    # radius-1 kernel (kernels/stencils_r1.py GSRB2): one exact halo ring
+    # baked in at build time so every tile's window is offset-exact (no
+    # alignment blends). Ordered (k2d0, k2alpha, k2bi, k2bj, k2bk,
+    # k2bk_top); the beta entries are None for the 27pt suite and
+    # k2alpha is None unless Helmholtz.
+    k2: Optional[tuple] = None
     # static: the kernel views above are PER-SHARD stacked views built by
     # shard_hierarchy for the distributed fast path
     # (parallel/shard_kernels.py) rather than single-chip global views

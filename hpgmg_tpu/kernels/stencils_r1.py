@@ -141,6 +141,60 @@ def tile_shape_slab_r1(ni: int, nj: int, nk: int, var7: bool = True):
     return best[1] if best else None
 
 
+# Fused red+black double-sweep kernel (one launch + one operand stream
+# per FULL GSRB sweep instead of two): the red update is computed on a
+# +1 ring in-kernel, its Dirichlet ghosts re-synthesized, and the black
+# update consumes it from VMEM. The radius-1 kernels are partially
+# HBM-bound (unlike fv4's VPU-bound hot loop, docs/GSRB_VPU.md), so
+# halving the beta/rhs/dinv streams is the lever; the VPU cost grows
+# only by the ring area (~(bi+2)(bj+2)/(bi*bj)) because all operand
+# halos are baked into pre-padded build-time views (Level.k2) — no
+# alignment blends. A/B-able via bench/kernel_sweep.py --gsrb2.
+# Default OFF until the on-hardware A/B validates Mosaic legalization
+# and a win (interpret-mode parity is green: tests/test_pallas_r1.py).
+GSRB2 = False
+# build-time capacity guard: the k2 views add ~3.4 n^3 f32 fields for
+# the var7 suites (1 for 27pt)
+GSRB2_MAX_DIM = 512
+
+
+def _vmem_bytes_gsrb2(n: int, bi: int, bj: int, var7: bool) -> int:
+    """Rough f32 VMEM footprint of one gsrb2 (bi, bj) tile."""
+    ln = -(-n // 128) * 128
+    win = (bi + 4) * (bj + 16) * ln + 2 * bi * bj * ln
+    win += (2 + (4 if var7 else 0)) * (bi + 3) * (bj + 16) * ln
+    tmp = 10 * (bi + 4) * (bj + 4) * ln
+    return 4 * (2 * win + tmp)
+
+
+def tile_shape_gsrb2(n: int, var7: bool = True):
+    """(bi, bj) for the fused double-sweep kernel: masked-window
+    constraints (>= 2 tiles, n >= bj+16 / bi+4) under its own VMEM
+    model (more resident operands than the half-sweep kernel)."""
+    best = None
+    for bj in (64, 48, 32, 24, 16, 8):
+        if n % bj or n // bj < 2 or n < bj + 16:
+            continue
+        for bi in (64, 32, 16, 8, 4):
+            if n % bi or n // bi < 2 or n < bi + 4:
+                continue
+            if _vmem_bytes_gsrb2(n, bi, bj, var7) > _s._VMEM_BUDGET:
+                continue
+            key = (bi * bj, bj)
+            if best is None or key > best[0]:
+                best = (key, (bi, bj))
+    return best[1] if best else None
+
+
+def gsrb2_eligible(cfg: SolverConfig, dim: int, var7: bool) -> bool:
+    """Build-time gate for attaching the k2 views (masked Dirichlet
+    single-chip only; periodic/sharded GSRB keep per-half-sweep
+    exchanges)."""
+    return (GSRB2 and dim <= GSRB2_MAX_DIM and cfg.bc == BC.DIRICHLET
+            and r1_views_eligible(cfg, dim, var7)
+            and tile_shape_gsrb2(dim, var7) is not None)
+
+
 def use_pallas_r1(cfg: SolverConfig, level: Level) -> bool:
     """Select the radius-1 Pallas path: kernel views attached by the
     suite's rebuild_operator (``level.kernel_suite`` set), Dirichlet
@@ -582,6 +636,238 @@ def single_chip_slabs_r1(x, bc: BC, taps_key: str):
         jhi = _ghost_row(strip(n_j - 2, n_j), 1, False, taps)
     pad8 = lambda a: jnp.pad(a, ((0, 0), (0, 7), (0, 0)))  # noqa: E731
     return ilo, ihi, pad8(jlo), pad8(jhi)
+
+
+# ---------------------------------------------------------------------------
+# fused red+black double sweep (GSRB2)
+# ---------------------------------------------------------------------------
+
+def pad_rhs_gsrb2(rhs):
+    """(n, n, n) -> (n+2, n+16, n) zero-padded rhs with live rows at
+    [1, n+1) x [8, n+8) — the k2-view layout; built once per smooth()
+    call and amortized over its sweeps."""
+    return jnp.pad(rhs, ((1, 1), (8, 8), (0, 0)))
+
+
+def r1_gsrb2_views(beta_i, beta_j, beta_k, kdinv0, alpha=None):
+    """Pre-padded operand views for the double-sweep kernel, ordered
+    (k2d0, k2alpha, k2bi, k2bj, k2bk, k2bk_top). One exact halo ring is
+    baked in (zeros — every padded value is either masked out by the
+    parity-folded kdinv0 or overwritten by in-kernel ghost synthesis)
+    so window offsets are plain (ti*bi, tj*bj): no alignment blends.
+    ``beta_i`` None selects the 27pt layout (no beta operands)."""
+    n = kdinv0.shape[1]
+
+    def pad3(a, i0, i1):
+        # j axis -> exactly n+16 (8 left; 8 or 7 right for cell/face dims)
+        return jnp.pad(a, ((i0, i1), (8, n + 8 - a.shape[1]), (0, 0)))
+
+    k2d0 = pad3(kdinv0, 1, 1)
+    k2a = pad3(alpha, 1, 1) if alpha is not None else None
+    if beta_i is None:
+        return (k2d0, k2a, None, None, None, None)
+    k2bi = pad3(beta_i, 1, 2)
+    k2bj = pad3(beta_j, 1, 1)
+    k2bk = pad3(beta_k[:, :, :-1], 1, 1)
+    k2top = pad3(beta_k[:, :, -1:], 1, 1)
+    return (k2d0, k2a, k2bi, k2bj, k2bk, k2top)
+
+
+def _ext2_tile_axis_r1(w, b: int, t, nt: int, axis: int, pad: int, taps):
+    """Radius-2 variant of ``_ext_tile_axis_r1``: rows [-2, b+2) of the
+    boundary-extended tile from a clamped (b + 2*pad)-row window. The
+    row beyond the domain ghost (-2 / b+1 at boundary tiles) duplicates
+    the ghost — it is only read by stencil applications at ghost
+    positions, whose results are discarded."""
+    def sl(lo, hi):
+        return lax.slice_in_dim(w, lo, hi, axis=axis)
+
+    m = b + 2 * pad
+    glo = _ghost_row(w, axis, True, taps)
+    ghi = _ghost_row(w, axis, False, taps)
+    first = jnp.concatenate([glo, glo, sl(0, b + 2)], axis)
+    mid = sl(pad - 2, pad + b + 2)
+    last = jnp.concatenate([sl(m - (b + 2), m), ghi, ghi], axis)
+    mf = (t == 0).astype(w.dtype)
+    ml = (t == nt - 1).astype(w.dtype)
+    return mf * first + (1.0 - mf - ml) * mid + ml * last
+
+
+def _fix_ghost_axis_r1(xr, b: int, t, nt: int, axis: int, taps):
+    """Replace the +-1 ring rows of the red-updated extended tile with
+    the 2-tap Dirichlet ghosts of the UPDATED interior (what a separate
+    ghost-fill pass would produce before the black half-sweep); interior
+    tiles keep their in-tile-updated neighbor rows."""
+    t1, t2 = taps
+
+    def sl(lo, hi):
+        return lax.slice_in_dim(xr, lo, hi, axis=axis)
+
+    g_lo = t1 * sl(1, 2)
+    g_hi = t1 * sl(b, b + 1)
+    if t2:
+        g_lo = g_lo + t2 * sl(2, 3)
+        g_hi = g_hi + t2 * sl(b - 1, b)
+    first = jnp.concatenate([g_lo, sl(1, b + 2)], axis)
+    last = jnp.concatenate([sl(0, b + 1), g_hi], axis)
+    mf = (t == 0).astype(xr.dtype)
+    ml = (t == nt - 1).astype(xr.dtype)
+    return mf * first + (1.0 - mf - ml) * xr + ml * last
+
+
+def _r1_gsrb2_kernel(*refs, n, bi, bj, nti, ntj, suite, taps, b_h2inv,
+                     a_alpha, const_a):
+    """One FULL GSRB sweep (red then black) on a (bi, bj, n) tile.
+
+    Red: computed on the +1 ring (cells [-1, bi+1) x [-1, bj+1)) from a
+    radius-2 masked x window; ring operand values come from the
+    pre-padded k2 views (offset-exact windows, garbage-free zeros where
+    out of domain). Ghosts of the red iterate are re-synthesized
+    in-kernel (i then j, the suites' tensor-product fill order), then
+    the black update runs on the interior with the center slices of the
+    SAME resident operands — betas/rhs stream from HBM once per full
+    sweep instead of twice."""
+    xw_ref = refs[0]
+    k = 1
+    b2i_ref = b2j_ref = b2k_ref = b2top_ref = None
+    if suite == "var7":
+        b2i_ref, b2j_ref, b2k_ref, b2top_ref = refs[1:5]
+        k = 5
+    a2_ref = None
+    if a_alpha:
+        a2_ref = refs[k]
+        k += 1
+    rhs2_ref, d0_ref, d1_ref, out_ref = refs[k:k + 4]
+
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    xi = _ext2_tile_axis_r1(xw_ref[...], bi, ti, nti, 0, 2, taps)
+    xE = _ext2_tile_axis_r1(xi, bj, tj, ntj, 1, 8, taps)  # (bi+4, bj+4, n)
+
+    rhs2 = rhs2_ref[...][:, 7:bj + 9, :]
+    d0 = d0_ref[...][:, 7:bj + 9, :]
+    a2 = a2_ref[...][:, 7:bj + 9, :] if a_alpha else None
+
+    if suite == "var7":
+        ebi = b2i_ref[...][:, 7:bj + 9, :]        # faces [-1, bi+2)
+        ebj = b2j_ref[...][:, 7:bj + 10, :]       # faces [-1, bj+2)
+        ebk = b2k_ref[...][:, 7:bj + 9, :]
+        etop = b2top_ref[...][:, 7:bj + 9, :]
+
+        def ax_on(xE_, ebi_, ebj_, ebk_, etop_, a_, mi, mj):
+            c = xE_[1:1 + mi, 1:1 + mj, :]
+            glo, ghi = _lane_ghosts(c, taps)
+            xm = _lane_shift(c, glo, ghi, -1)
+            xp = _lane_shift(c, glo, ghi, 1)
+            ek_hi = _lane_shift(ebk_, None, etop_, 1)
+            lap = (ebi_[1:] * (xE_[2:2 + mi, 1:1 + mj, :] - c)
+                   + ebi_[:mi] * (xE_[0:mi, 1:1 + mj, :] - c)
+                   + ebj_[:, 1:, :] * (xE_[1:1 + mi, 2:2 + mj, :] - c)
+                   + ebj_[:, :mj, :] * (xE_[1:1 + mi, 0:mj, :] - c)
+                   + ek_hi * (xp - c) + ebk_ * (xm - c))
+            ax = -b_h2inv * lap
+            if a_ is not None:
+                ax = ax + a_alpha * a_ * c
+            return c, ax
+
+        c1, ax1 = ax_on(xE, ebi, ebj, ebk, etop, a2, bi + 2, bj + 2)
+        xr = c1 + d0 * (rhs2 - ax1)
+        xr = _fix_ghost_axis_r1(xr, bi, ti, nti, 0, taps)
+        xr = _fix_ghost_axis_r1(xr, bj, tj, ntj, 1, taps)
+        c2, ax2 = ax_on(
+            xr, ebi[1:bi + 2, 1:bj + 1, :], ebj[1:bi + 1, 1:bj + 2, :],
+            ebk[1:bi + 1, 1:bj + 1, :], etop[1:bi + 1, 1:bj + 1, :],
+            None if a2 is None else a2[1:bi + 1, 1:bj + 1, :], bi, bj)
+    else:
+        def ax_on27(xE_, mi, mj):
+            glo, ghi = _lane_ghosts(xE_, taps)
+            xkm = _lane_shift(xE_, glo, ghi, -1)
+            xkp = _lane_shift(xE_, glo, ghi, 1)
+            c = xE_[1:1 + mi, 1:1 + mj, :]
+
+            def p(a, di, dj):
+                return a[1 + di:1 + di + mi, 1 + dj:1 + dj + mj, :]
+
+            face = edge = corner = None
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    for src, dk in ((xkm, -1), (xE_, 0), (xkp, 1)):
+                        m = abs(di) + abs(dj) + abs(dk)
+                        if m == 0:
+                            continue
+                        t_ = p(src, di, dj)
+                        if m == 1:
+                            face = t_ if face is None else face + t_
+                        elif m == 2:
+                            edge = t_ if edge is None else edge + t_
+                        else:
+                            corner = t_ if corner is None else corner + t_
+            lap = _C0 * c + _C1 * face + _C2 * edge + _C3 * corner
+            return c, const_a * c - b_h2inv * lap
+
+        c1, ax1 = ax_on27(xE, bi + 2, bj + 2)
+        xr = c1 + d0 * (rhs2 - ax1)
+        xr = _fix_ghost_axis_r1(xr, bi, ti, nti, 0, taps)
+        xr = _fix_ghost_axis_r1(xr, bj, tj, ntj, 1, taps)
+        c2, ax2 = ax_on27(xr, bi, bj)
+
+    out_ref[...] = c2 + d1_ref[...] * (rhs2[1:bi + 1, 1:bj + 1, :] - ax2)
+
+
+def r1_gsrb2_pallas(level: Level, x, rhse, cfg: SolverConfig,
+                    taps_key: str):
+    """One fused red+black GSRB sweep in a single kernel launch.
+    ``rhse`` is the pre-padded rhs (``pad_rhs_gsrb2``); the remaining
+    ring operands ride in ``level.k2`` (build-time views)."""
+    n = level.dim
+    suite = level.kernel_suite
+    var7 = suite == "var7"
+    taps = _TAPS[taps_key]
+    a_alpha = (cfg.a if cfg.helmholtz else 0.0) if var7 else 0.0
+    const_a = cfg.a if not var7 else 0.0
+    k2d0, k2a, k2bi, k2bj, k2bk, k2top = level.k2
+    bi, bj = tile_shape_gsrb2(n, var7)
+    nti, ntj = n // bi, n // bj
+    kernel = functools.partial(
+        _r1_gsrb2_kernel, n=n, bi=bi, bj=bj, nti=nti, ntj=ntj,
+        suite=suite, taps=taps, b_h2inv=cfg.b * level.h2inv,
+        a_alpha=a_alpha, const_a=const_a)
+    E = pl.Element
+
+    def xmap(ti, tj):
+        # sublane (j) window offsets must be PROVABLY x8 for Mosaic
+        return (jnp.clip(ti * bi - 2, 0, n - bi - 4),
+                8 * jnp.clip(tj * (bj // 8) - 1, 0, (n - bj - 16) // 8), 0)
+
+    def bmap(ti, tj):
+        return (ti * bi, tj * bj, 0)
+
+    ring_spec = pl.BlockSpec((E(bi + 2), E(bj + 16), E(n)), bmap)
+    in_specs = [pl.BlockSpec((E(bi + 4), E(bj + 16), E(n)), xmap)]
+    args = [x]
+    if var7:
+        in_specs += [
+            pl.BlockSpec((E(bi + 3), E(bj + 16), E(n)), bmap),
+            ring_spec, ring_spec,
+            pl.BlockSpec((E(bi + 2), E(bj + 16), E(1)), bmap),
+        ]
+        args += [k2bi, k2bj, k2bk, k2top]
+    if a_alpha:
+        in_specs.append(ring_spec)
+        args.append(k2a)
+    tile_spec = pl.BlockSpec((bi, bj, n), lambda ti, tj: (ti, tj, 0))
+    in_specs += [ring_spec, ring_spec, tile_spec]
+    args += [rhse, k2d0, level.kdinv[1]]
+    return pl.pallas_call(
+        kernel,
+        grid=(nti, ntj),
+        in_specs=in_specs,
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct(level.shape, x.dtype),
+        compiler_params=None if _s.INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=_s._VMEM_LIMIT),
+        interpret=_s.INTERPRET,
+    )(*args)
 
 
 def _r1_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str,

@@ -113,6 +113,17 @@ class RadiusOneKernelMixin:
         if level.kdinv is None:
             return NotImplemented
         if use_pallas_r1(cfg, level):
+            import hpgmg_tpu.kernels.stencils_r1 as _K1
+
+            if (_K1.GSRB2 and level.k2 is not None
+                    and nsweeps % 2 == 0):
+                # fused red+black double sweeps: one launch + one
+                # operand stream per FULL sweep; rhs padded once
+                rhse = _K1.pad_rhs_gsrb2(rhs)
+                for _ in range(nsweeps // 2):
+                    x = _K1.r1_gsrb2_pallas(level, x, rhse, cfg,
+                                            self.taps_key)
+                return x
             for s in range(nsweeps):
                 x = r1_gsrb_sweep_pallas(level, x, rhs, cfg, s & 1,
                                          self.taps_key)
@@ -145,9 +156,12 @@ class RadiusOneKernelMixin:
         return dataclasses.replace(level, kbi=kbi, kbj=kbj, kbk=kbk,
                                    kbk_top=kbk_top, kernel_suite="var7")
 
-    def _attach_r1_kdinv(self, level: Level) -> Level:
+    def _attach_r1_kdinv(self, level: Level,
+                         cfg: SolverConfig = None) -> Level:
         """Fold the GSRB parity masks into dinv (GSRB_FP at build time);
-        call after the rebuild has populated ``dinv``."""
+        call after the rebuild has populated ``dinv``. With ``cfg`` also
+        attaches the pre-padded double-sweep views (``Level.k2``) on
+        GSRB2-eligible levels (kernels/stencils_r1.py)."""
         import dataclasses
 
         from hpgmg_tpu.core.level import rb_mask
@@ -156,7 +170,18 @@ class RadiusOneKernelMixin:
             return level
         kdinv = tuple(rb_mask(level.dim, p, level.dinv.dtype) * level.dinv
                       for p in (0, 1))
-        return dataclasses.replace(level, kdinv=kdinv)
+        level = dataclasses.replace(level, kdinv=kdinv)
+        from hpgmg_tpu.kernels.stencils_r1 import (gsrb2_eligible,
+                                                   r1_gsrb2_views)
+
+        if cfg is not None and gsrb2_eligible(cfg, level.dim,
+                                              self.r1_var7):
+            alpha = level.alpha if (cfg.helmholtz and self.r1_var7) else None
+            k2 = r1_gsrb2_views(
+                level.beta_i if self.r1_var7 else None,
+                level.beta_j, level.beta_k, kdinv[0], alpha)
+            level = dataclasses.replace(level, k2=k2)
+        return level
 
 
 _REGISTRY: Dict[str, Callable[[], OperatorSuite]] = {}

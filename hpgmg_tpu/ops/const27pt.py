@@ -69,4 +69,4 @@ class Const27pt(base.RadiusOneKernelMixin, base.OperatorSuite):
         # just the kernel_suite marker)
         lv = self._attach_r1_views(level, cfg)
         return self._attach_r1_kdinv(rebuild_blackbox(self, lv, cfg,
-                                                      colors=2))
+                                                      colors=2), cfg)

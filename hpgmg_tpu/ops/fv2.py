@@ -48,4 +48,4 @@ class FV2(base.RadiusOneKernelMixin, base.OperatorSuite):
         # probes run through the kernel on eligible levels
         lv = self._attach_r1_views(level, cfg)
         return self._attach_r1_kdinv(rebuild_blackbox(self, lv, cfg,
-                                                      colors=2))
+                                                      colors=2), cfg)

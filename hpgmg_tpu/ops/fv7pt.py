@@ -118,4 +118,4 @@ class FV7pt(base.RadiusOneKernelMixin, base.OperatorSuite):
         # Baker et al. eq 6.5 switch (operators.7pt.c:221-224)
         l1inv = jnp.where(aii >= 1.5 * sum_abs, 1.0 / aii, 1.0 / (aii + 0.5 * sum_abs))
         lv = dataclasses.replace(level, dinv=dinv, l1inv=l1inv, lambda_max=lam)
-        return self._attach_r1_kdinv(self._attach_r1_views(lv, cfg))
+        return self._attach_r1_kdinv(self._attach_r1_views(lv, cfg), cfg)

@@ -197,7 +197,8 @@ def shard_hierarchy(mesh: Mesh, hier, cfg=None):
             # the unextended face coefficients
             kbi, kbj, kbk, kbk_top, kdinv = build_sharded_views_r1(mesh, lv)
             kviews = dict(kbi=kbi, kbj=kbj, kbk=kbk, kbk_top=kbk_top,
-                          kdinv=kdinv, ksharded=True)
+                          kdinv=kdinv, ksharded=True,
+                          k2=None)  # global-layout k2 unusable per-shard
         for name in ("beta_i", "beta_j", "beta_k", "alpha", "dinv",
                      "l1inv"):
             arr = getattr(lv, name)
@@ -225,11 +226,15 @@ def shard_hierarchy(mesh: Mesh, hier, cfg=None):
                                     for d in lv.kdinv)
             if getattr(lv, "kgd", None) is not None:
                 kw["kgd"] = tuple(jax.device_put(d, rep) for d in lv.kgd)
+            if getattr(lv, "k2", None) is not None:
+                kw["k2"] = tuple(None if d is None
+                                 else jax.device_put(d, rep)
+                                 for d in lv.k2)
         else:
             # sharded level the kernels cannot serve: the single-chip views
             # would ride along as dead weight — drop them (XLA path)
             kw.update(kbi=None, kbj=None, kbk=None, kbk_top=None,
-                      kdinv=None, kernel_suite=None, kgd=None)
+                      kdinv=None, kernel_suite=None, kgd=None, k2=None)
         new_levels.append(dataclasses.replace(lv, **kw))
     return Hierarchy(levels=new_levels)
 

@@ -41,8 +41,15 @@ def setup(request):
                        dtype=jnp.float64)
     # n=48 -> (16, 24) tiles: first/interior/last i tiles, first/last j
     prob = init_problem_fv(48, dtype=jnp.float64)
-    hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
-                           alpha=prob.alpha)
+    # force the double-sweep views on at build so the gsrb2 tests can
+    # drive the kernel directly (flag defaults off pending hardware A/B)
+    old = K1.GSRB2
+    K1.GSRB2 = True
+    try:
+        hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
+                               alpha=prob.alpha)
+    finally:
+        K1.GSRB2 = old
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((48, 48, 48)))
     return cfg, prob, hier, get_suite(name), x
@@ -189,6 +196,84 @@ def test_slab_call_matches_xla(setup):
                            const_a=const_a)
     np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
                                rtol=1e-12, atol=1e-10)
+
+
+def test_gsrb2_matches_two_half_sweeps(setup):
+    """r1_gsrb2_pallas (fused red+black double sweep, one launch) == two
+    XLA half-sweeps — the GSRB2 fast path's correctness oracle (same
+    identical-convergence discipline as operators.test.c)."""
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    assert lv.k2 is not None  # GSRB2-eligible at 48^3
+    cfgx = xla_cfg(cfg)
+
+    def half(x, s):
+        ax = op.apply_op(lv, x, cfgx)
+        mask = rb_mask(lv.dim, s, x.dtype)
+        return x + mask * lv.dinv * (prob.f - ax)
+
+    ref = half(half(x, 0), 1)
+    rhse = K1.pad_rhs_gsrb2(prob.f)
+    out = K1.r1_gsrb2_pallas(lv, x, rhse, cfg, op.taps_key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-10)
+
+
+def test_gsrb2_helmholtz_matches_xla():
+    """GSRB2 with the Helmholtz a*alpha*x term (alpha rides as a padded
+    k2 operand)."""
+    cfg = SolverConfig(op="fv7pt", a=0.9, b=1.0, helmholtz=True,
+                       dtype=jnp.float64, kernels="pallas")
+    prob = init_problem_fv(48, dtype=jnp.float64)
+    old = K1.GSRB2
+    K1.GSRB2 = True
+    try:
+        hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
+                               alpha=prob.alpha)
+    finally:
+        K1.GSRB2 = old
+    lv = hier.levels[0]
+    op = get_suite("fv7pt")
+    assert lv.k2 is not None and lv.k2[1] is not None
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((48, 48, 48)))
+    cfgx = xla_cfg(cfg)
+
+    def half(x, s):
+        ax = op.apply_op(lv, x, cfgx)
+        mask = rb_mask(lv.dim, s, x.dtype)
+        return x + mask * lv.dinv * (prob.f - ax)
+
+    ref = half(half(x, 0), 1)
+    out = K1.r1_gsrb2_pallas(lv, x, K1.pad_rhs_gsrb2(prob.f), cfg,
+                             op.taps_key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-10)
+
+
+def test_gsrb2_smoother_wiring(setup):
+    """The gsrb smoother routes through the double-sweep kernel when
+    GSRB2 is on (k2 attached, even half-sweep count) and matches the
+    XLA smoother; flipping the flag falls back to half-sweep launches
+    with identical results."""
+    from hpgmg_tpu.solve.smoothers import gsrb
+
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    cfgp = dataclasses.replace(cfg, kernels="pallas")
+    ref = gsrb(op, lv, x, prob.f, xla_cfg(cfg))
+    old = K1.GSRB2
+    try:
+        K1.GSRB2 = True
+        out2 = gsrb(op, lv, x, prob.f, cfgp)
+        K1.GSRB2 = False
+        out1 = gsrb(op, lv, x, prob.f, cfgp)
+    finally:
+        K1.GSRB2 = old
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=1e-12, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-13, atol=1e-13)
 
 
 def test_slab_call_periodic_matches_xla():
