@@ -188,11 +188,33 @@ def tile_shape_gsrb2(n: int, var7: bool = True):
 
 def gsrb2_eligible(cfg: SolverConfig, dim: int, var7: bool) -> bool:
     """Build-time gate for attaching the k2 views (masked Dirichlet
-    single-chip only; periodic/sharded GSRB keep per-half-sweep
-    exchanges)."""
+    single-chip only: a periodic double sweep would need the OPPOSITE
+    domain face's red iterate for the wrap ghost — it lives in another
+    tile, so the fusion cannot be local; periodic GSRB keeps
+    per-half-sweep exchanges)."""
     return (GSRB2 and dim <= GSRB2_MAX_DIM and cfg.bc == BC.DIRICHLET
             and r1_views_eligible(cfg, dim, var7)
             and tile_shape_gsrb2(dim, var7) is not None)
+
+
+def tile_shape_slab2_r1(ni: int, nj: int, nk: int, var7: bool = True):
+    """(bi, bj) for the DISTRIBUTED double-sweep kernel on a local
+    (ni, nj, nk) block (slab2: 2-deep halo slabs + masked radius-2
+    windows): >= 2 tiles per axis, ni >= bi+4 / nj >= bj+16 window
+    bounds, gsrb2 VMEM model."""
+    best = None
+    for bj in (64, 48, 32, 24, 16, 8):
+        if nj % bj or nj // bj < 2 or nj < bj + 16:
+            continue
+        for bi in (64, 32, 16, 8, 4):
+            if ni % bi or ni // bi < 2 or ni < bi + 4:
+                continue
+            if _vmem_bytes_gsrb2(nk, bi, bj, var7) > _s._VMEM_BUDGET:
+                continue
+            key = (bi * bj, bj)
+            if best is None or key > best[0]:
+                best = (key, (bi, bj))
+    return best[1] if best else None
 
 
 def use_pallas_r1(cfg: SolverConfig, level: Level) -> bool:
@@ -693,15 +715,19 @@ def _ext2_tile_axis_r1(w, b: int, t, nt: int, axis: int, pad: int, taps):
     return mf * first + (1.0 - mf - ml) * mid + ml * last
 
 
-def _fix_ghost_axis_r1(xr, b: int, t, nt: int, axis: int, taps):
+def _fix_ghost_axis_r1(xr, b: int, t, nt: int, axis: int, taps,
+                       lo=1.0, hi=1.0):
     """Replace the +-1 ring rows of the red-updated extended tile with
     the 2-tap Dirichlet ghosts of the UPDATED interior (what a separate
     ghost-fill pass would produce before the black half-sweep); interior
-    tiles keep their in-tile-updated neighbor rows."""
+    tiles keep their in-tile-updated neighbor rows. ``lo``/``hi`` scale
+    the first/last-tile masks — the distributed slab2 mode passes
+    is-domain-edge flags so shard-interior edges keep the exchanged
+    neighbor red values instead."""
     t1, t2 = taps
 
-    def sl(lo, hi):
-        return lax.slice_in_dim(xr, lo, hi, axis=axis)
+    def sl(lo_, hi_):
+        return lax.slice_in_dim(xr, lo_, hi_, axis=axis)
 
     g_lo = t1 * sl(1, 2)
     g_hi = t1 * sl(b, b + 1)
@@ -710,13 +736,31 @@ def _fix_ghost_axis_r1(xr, b: int, t, nt: int, axis: int, taps):
         g_hi = g_hi + t2 * sl(b - 1, b)
     first = jnp.concatenate([g_lo, sl(1, b + 2)], axis)
     last = jnp.concatenate([sl(0, b + 1), g_hi], axis)
-    mf = (t == 0).astype(xr.dtype)
-    ml = (t == nt - 1).astype(xr.dtype)
+    mf = (t == 0).astype(xr.dtype) * lo
+    ml = (t == nt - 1).astype(xr.dtype) * hi
     return mf * first + (1.0 - mf - ml) * xr + ml * last
 
 
+def _slab2_tile_axis_r1(w, glo, ghi, b: int, t, nt: int, axis: int,
+                        pad: int):
+    """``_ext2_tile_axis_r1`` with the 2-deep edge ghosts arriving as
+    slab OPERANDS (2-deep neighbor halos, or BC ghost + duplicate at
+    domain edges — the distributed slab2 path). ``glo``/``ghi`` are 2
+    rows along ``axis`` ordered [far, near] / [near, far]."""
+    def sl(lo, hi):
+        return lax.slice_in_dim(w, lo, hi, axis=axis)
+
+    m = b + 2 * pad
+    first = jnp.concatenate([glo, sl(0, b + 2)], axis)
+    mid = sl(pad - 2, pad + b + 2)
+    last = jnp.concatenate([sl(m - (b + 2), m), ghi], axis)
+    mf = (t == 0).astype(w.dtype)
+    ml = (t == nt - 1).astype(w.dtype)
+    return mf * first + (1.0 - mf - ml) * mid + ml * last
+
+
 def _r1_gsrb2_kernel(*refs, n, bi, bj, nti, ntj, suite, taps, b_h2inv,
-                     a_alpha, const_a):
+                     a_alpha, const_a, slab=False):
     """One FULL GSRB sweep (red then black) on a (bi, bj, n) tile.
 
     Red: computed on the +1 ring (cells [-1, bi+1) x [-1, bj+1)) from a
@@ -726,13 +770,24 @@ def _r1_gsrb2_kernel(*refs, n, bi, bj, nti, ntj, suite, taps, b_h2inv,
     in-kernel (i then j, the suites' tensor-product fill order), then
     the black update runs on the interior with the center slices of the
     SAME resident operands — betas/rhs stream from HBM once per full
-    sweep instead of twice."""
+    sweep instead of twice.
+
+    slab: the distributed variant — the 2-deep x edge ghosts arrive as
+    4 slab operands (neighbor halos via ppermute or BC fills) plus an
+    ``eflags`` (1, 8, n) operand of is-domain-edge floats
+    [lo_i, hi_i, lo_j, hi_j, ...] that gates the mid-sweep ghost
+    re-synthesis: at shard-interior edges the exchanged ring rows ARE
+    the neighbor's red values and must be kept."""
     xw_ref = refs[0]
     k = 1
+    ilo_ref = ihi_ref = jlo_ref = jhi_ref = ef_ref = None
+    if slab:
+        ilo_ref, ihi_ref, jlo_ref, jhi_ref, ef_ref = refs[1:6]
+        k = 6
     b2i_ref = b2j_ref = b2k_ref = b2top_ref = None
     if suite == "var7":
-        b2i_ref, b2j_ref, b2k_ref, b2top_ref = refs[1:5]
-        k = 5
+        b2i_ref, b2j_ref, b2k_ref, b2top_ref = refs[k:k + 4]
+        k += 4
     a2_ref = None
     if a_alpha:
         a2_ref = refs[k]
@@ -741,8 +796,19 @@ def _r1_gsrb2_kernel(*refs, n, bi, bj, nti, ntj, suite, taps, b_h2inv,
 
     ti = pl.program_id(0)
     tj = pl.program_id(1)
-    xi = _ext2_tile_axis_r1(xw_ref[...], bi, ti, nti, 0, 2, taps)
-    xE = _ext2_tile_axis_r1(xi, bj, tj, ntj, 1, 8, taps)  # (bi+4, bj+4, n)
+    if slab:
+        xi = _slab2_tile_axis_r1(xw_ref[...], ilo_ref[...], ihi_ref[...],
+                                 bi, ti, nti, 0, 2)
+        xE = _slab2_tile_axis_r1(xi, jlo_ref[:, 0:2, :],
+                                 jhi_ref[:, 0:2, :],
+                                 bj, tj, ntj, 1, 8)     # (bi+4, bj+4, n)
+        ef = ef_ref[...]                   # (1, 8, n), lane-replicated
+        lo_i, hi_i = ef[:, 0:1, :], ef[:, 1:2, :]
+        lo_j, hi_j = ef[:, 2:3, :], ef[:, 3:4, :]
+    else:
+        xi = _ext2_tile_axis_r1(xw_ref[...], bi, ti, nti, 0, 2, taps)
+        xE = _ext2_tile_axis_r1(xi, bj, tj, ntj, 1, 8, taps)
+        lo_i = hi_i = lo_j = hi_j = 1.0
 
     rhs2 = rhs2_ref[...][:, 7:bj + 9, :]
     d0 = d0_ref[...][:, 7:bj + 9, :]
@@ -772,8 +838,8 @@ def _r1_gsrb2_kernel(*refs, n, bi, bj, nti, ntj, suite, taps, b_h2inv,
 
         c1, ax1 = ax_on(xE, ebi, ebj, ebk, etop, a2, bi + 2, bj + 2)
         xr = c1 + d0 * (rhs2 - ax1)
-        xr = _fix_ghost_axis_r1(xr, bi, ti, nti, 0, taps)
-        xr = _fix_ghost_axis_r1(xr, bj, tj, ntj, 1, taps)
+        xr = _fix_ghost_axis_r1(xr, bi, ti, nti, 0, taps, lo_i, hi_i)
+        xr = _fix_ghost_axis_r1(xr, bj, tj, ntj, 1, taps, lo_j, hi_j)
         c2, ax2 = ax_on(
             xr, ebi[1:bi + 2, 1:bj + 1, :], ebj[1:bi + 1, 1:bj + 2, :],
             ebk[1:bi + 1, 1:bj + 1, :], etop[1:bi + 1, 1:bj + 1, :],
@@ -807,8 +873,8 @@ def _r1_gsrb2_kernel(*refs, n, bi, bj, nti, ntj, suite, taps, b_h2inv,
 
         c1, ax1 = ax_on27(xE, bi + 2, bj + 2)
         xr = c1 + d0 * (rhs2 - ax1)
-        xr = _fix_ghost_axis_r1(xr, bi, ti, nti, 0, taps)
-        xr = _fix_ghost_axis_r1(xr, bj, tj, ntj, 1, taps)
+        xr = _fix_ghost_axis_r1(xr, bi, ti, nti, 0, taps, lo_i, hi_i)
+        xr = _fix_ghost_axis_r1(xr, bj, tj, ntj, 1, taps, lo_j, hi_j)
         c2, ax2 = ax_on27(xr, bi, bj)
 
     out_ref[...] = c2 + d1_ref[...] * (rhs2[1:bi + 1, 1:bj + 1, :] - ax2)
@@ -864,6 +930,87 @@ def r1_gsrb2_pallas(level: Level, x, rhse, cfg: SolverConfig,
         in_specs=in_specs,
         out_specs=tile_spec,
         out_shape=jax.ShapeDtypeStruct(level.shape, x.dtype),
+        compiler_params=None if _s.INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=_s._VMEM_LIMIT),
+        interpret=_s.INTERPRET,
+    )(*args)
+
+
+def r1_gsrb2_call_slab(x, islab_lo, islab_hi, jslab_lo, jslab_hi, eflags,
+                       k2, kdinv1, rhs2, b_h2inv, suite: str,
+                       taps_key: str, a_alpha: float = 0.0,
+                       const_a: float = 0.0):
+    """Distributed double-sweep launch on ONE shard's block (the
+    shard_map body of the slab2 path): one 2-deep slab exchange + one
+    kernel launch per FULL GSRB sweep — half the messages and launches
+    of the half-sweep schedule.
+
+    x: (ni, nj, nk); islab_lo/hi: (2, nj, nk) [far, near]/[near, far];
+    jslab_lo/hi: (ni+4, 8, nk) i-extended 2-deep strips (corner ghosts
+    transitive); eflags: (1, 8, nk) is-domain-edge floats gating the
+    mid-sweep ghost re-synthesis; k2: the PER-SHARD pre-padded ring
+    views (parallel/shard_kernels.py build_sharded_k2_r1 layout);
+    rhs2: (ni+2, nj+16, nk) ring-exchanged padded rhs.
+    """
+    ni, nj, nk = x.shape
+    var7 = suite == "var7"
+    ts = tile_shape_slab2_r1(ni, nj, nk, var7)
+    assert ts is not None, (ni, nj, nk)
+    bi, bj = ts
+    nti, ntj = ni // bi, nj // bj
+    k2d0, k2a, k2bi, k2bj, k2bk, k2top = k2
+    kernel = functools.partial(
+        _r1_gsrb2_kernel, n=nk, bi=bi, bj=bj, nti=nti, ntj=ntj,
+        suite=suite, taps=_TAPS[taps_key], b_h2inv=b_h2inv,
+        a_alpha=a_alpha, const_a=const_a, slab=True)
+    E = pl.Element
+
+    def xmap(ti, tj):
+        return (jnp.clip(ti * bi - 2, 0, ni - bi - 4),
+                8 * jnp.clip(tj * (bj // 8) - 1, 0, (nj - bj - 16) // 8),
+                0)
+
+    def imap(ti, tj):  # i slabs: window-aligned j offsets only
+        return (0, xmap(ti, tj)[1], 0)
+
+    def jmap(ti, tj):
+        # j slabs: leading axis is the i-EXTENDED-by-2 axis (row r is
+        # cell r-2), so offset ti*bi covers the tile's extended rows
+        # [ti*bi-2, ti*bi+bi+2) for first/interior/last alike
+        return (ti * bi, 0, 0)
+
+    def bmap(ti, tj):
+        return (ti * bi, tj * bj, 0)
+
+    ring_spec = pl.BlockSpec((E(bi + 2), E(bj + 16), E(nk)), bmap)
+    in_specs = [
+        pl.BlockSpec((E(bi + 4), E(bj + 16), E(nk)), xmap),
+        pl.BlockSpec((E(2), E(bj + 16), E(nk)), imap),
+        pl.BlockSpec((E(2), E(bj + 16), E(nk)), imap),
+        pl.BlockSpec((E(bi + 4), E(8), E(nk)), jmap),
+        pl.BlockSpec((E(bi + 4), E(8), E(nk)), jmap),
+        pl.BlockSpec((E(1), E(8), E(nk)), lambda ti, tj: (0, 0, 0)),
+    ]
+    args = [x, islab_lo, islab_hi, jslab_lo, jslab_hi, eflags]
+    if var7:
+        in_specs += [
+            pl.BlockSpec((E(bi + 3), E(bj + 16), E(nk)), bmap),
+            ring_spec, ring_spec,
+            pl.BlockSpec((E(bi + 2), E(bj + 16), E(1)), bmap),
+        ]
+        args += [k2bi, k2bj, k2bk, k2top]
+    if a_alpha:
+        in_specs.append(ring_spec)
+        args.append(k2a)
+    tile_spec = pl.BlockSpec((bi, bj, nk), lambda ti, tj: (ti, tj, 0))
+    in_specs += [ring_spec, ring_spec, tile_spec]
+    args += [rhs2, k2d0, kdinv1]
+    return pl.pallas_call(
+        kernel,
+        grid=(nti, ntj),
+        in_specs=in_specs,
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((ni, nj, nk), x.dtype),
         compiler_params=None if _s.INTERPRET else pltpu.CompilerParams(
             vmem_limit_bytes=_s._VMEM_LIMIT),
         interpret=_s.INTERPRET,

@@ -130,6 +130,21 @@ class RadiusOneKernelMixin:
             return x
         mesh = get_mesh_for_level(cfg, level)
         if mesh is not None:
+            import hpgmg_tpu.kernels.stencils_r1 as _K1
+
+            if (_K1.GSRB2 and getattr(level, "k2", None) is not None
+                    and nsweeps % 2 == 0):
+                # distributed fused double sweeps: one 2-deep slab
+                # exchange + one launch per FULL sweep; rhs ring
+                # exchanged once per smooth call
+                from hpgmg_tpu.parallel.shard_kernels import (
+                    r1_gsrb2_rhs_sharded, r1_gsrb2_sharded)
+
+                rhs2 = r1_gsrb2_rhs_sharded(mesh, rhs)
+                for _ in range(nsweeps // 2):
+                    x = r1_gsrb2_sharded(mesh, level, x, rhs2, cfg,
+                                         self.taps_key)
+                return x
             for s in range(nsweeps):
                 x = r1_sharded(mesh, level, x, rhs, cfg, "gsrb",
                                self.taps_key, parity=s & 1)

@@ -170,8 +170,10 @@ def shard_hierarchy(mesh: Mesh, hier, cfg=None):
     import dataclasses
 
     from hpgmg_tpu.core.hierarchy import Hierarchy
-    from hpgmg_tpu.parallel.shard_kernels import (build_sharded_views,
+    from hpgmg_tpu.parallel.shard_kernels import (build_sharded_k2_r1,
+                                                  build_sharded_views,
                                                   build_sharded_views_r1,
+                                                  sharded_gsrb2_eligible,
                                                   sharded_kernel_eligible,
                                                   sharded_r1_eligible)
 
@@ -199,6 +201,10 @@ def shard_hierarchy(mesh: Mesh, hier, cfg=None):
             kviews = dict(kbi=kbi, kbj=kbj, kbk=kbk, kbk_top=kbk_top,
                           kdinv=kdinv, ksharded=True,
                           k2=None)  # global-layout k2 unusable per-shard
+            if sharded_gsrb2_eligible(mesh, lv.dim, cfg,
+                                      lv.kernel_suite == "var7"):
+                # per-shard double-sweep ring views (slab2 fast path)
+                kviews["k2"] = build_sharded_k2_r1(mesh, lv, cfg)
         for name in ("beta_i", "beta_j", "beta_k", "alpha", "dinv",
                      "l1inv"):
             arr = getattr(lv, name)

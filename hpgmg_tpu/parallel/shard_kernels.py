@@ -271,6 +271,54 @@ def slabs_for_kernel_r1(xl, mesh: Mesh, periodic: bool, taps):
     return ilo, ihi, pad8(jlo), pad8(jhi)
 
 
+def slabs2_for_kernel_r1(xl, mesh: Mesh, taps):
+    """2-deep edge slabs for the distributed double-sweep kernel
+    (stencils_r1.r1_gsrb2_call_slab): ONE exchange serves a full
+    red+black sweep (the deep-halo/temporal-blocking schedule — the
+    reference exchanges before every half-sweep, gsrb.c:24-41).
+    Dirichlet only; i slabs ordered [far, near]/[near, far]; j slabs are
+    i-extended-by-2 strips (corner ghosts transitive). At domain edges
+    the far row duplicates the 2-tap ghost — it is only read by red
+    applications at ghost positions, whose results are discarded."""
+    t1, t2 = taps
+    nli, nlj = xl.shape[0], xl.shape[1]
+
+    def bc_pair(src, axis, lo):
+        m = src.shape[axis]
+        i1, i2 = (0, 1) if lo else (m - 1, m - 2)
+        g = t1 * lax.slice_in_dim(src, i1, i1 + 1, axis=axis)
+        if t2:
+            g = g + t2 * lax.slice_in_dim(src, i2, i2 + 1, axis=axis)
+        return jnp.concatenate([g, g], axis=axis)
+
+    def halo(face_lo, face_hi, name, bc_lo, bc_hi):
+        n_sh = mesh.shape[name]
+        if n_sh == 1:
+            return bc_lo(), bc_hi()
+        fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+        bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+        glo = lax.ppermute(face_hi, name, fwd)  # from my -1 neighbor
+        ghi = lax.ppermute(face_lo, name, bwd)  # from my +1 neighbor
+        idx = lax.axis_index(name)
+        glo = jnp.where(idx == 0, bc_lo(), glo)
+        ghi = jnp.where(idx == n_sh - 1, bc_hi(), ghi)
+        return glo, ghi
+
+    ilo, ihi = halo(xl[:2], xl[nli - 2:], "x",
+                    lambda: bc_pair(xl, 0, True),
+                    lambda: bc_pair(xl, 0, False))
+
+    def strip(j0, j1):  # i-extended-by-2 thin j strip (nli+4, w, nk)
+        return jnp.concatenate(
+            [ilo[:, j0:j1], xl[:, j0:j1], ihi[:, j0:j1]], axis=0)
+
+    jlo, jhi = halo(strip(0, 2), strip(nlj - 2, nlj), "y",
+                    lambda: bc_pair(strip(0, 2), 1, True),
+                    lambda: bc_pair(strip(nlj - 2, nlj), 1, False))
+    pad8 = lambda a: jnp.pad(a, ((0, 0), (0, 6), (0, 0)))  # noqa: E731
+    return ilo, ihi, pad8(jlo), pad8(jhi)
+
+
 def _extend_axis_sharded(xl, name: str, axis: int, mesh: Mesh,
                          periodic: bool = False):
     """Extend one sharded axis by 2 ghosts: neighbor halos via ppermute,
@@ -489,6 +537,95 @@ def r1_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
                      out_specs=_SPEC, check_vma=False)(*args)
 
 
+def sharded_gsrb2_eligible(mesh: Mesh, dim: int, cfg: SolverConfig,
+                           var7: bool) -> bool:
+    """Static check for the distributed double-sweep path (slab2):
+    Dirichlet, r1-sharded-eligible, and local blocks large enough for
+    the radius-2 masked windows."""
+    from hpgmg_tpu.kernels.stencils_r1 import (GSRB2, GSRB2_MAX_DIM,
+                                               tile_shape_slab2_r1)
+
+    if not GSRB2 or cfg.bc != BC.DIRICHLET or dim > GSRB2_MAX_DIM:
+        return False
+    if not sharded_r1_eligible(mesh, dim, cfg, var7):
+        return False
+    sx, sy = mesh.shape["x"], mesh.shape["y"]
+    return tile_shape_slab2_r1(dim // sx, dim // sy, dim, var7) is not None
+
+
+def r1_gsrb2_rhs_sharded(mesh: Mesh, rhs):
+    """Ring-exchanged padded rhs for the distributed double-sweep:
+    P('x','y')-sharded (n, n, n) -> stacked (sx*(nli+2), sy*(nlj+16), nk)
+    with each shard's 1-deep neighbor ring baked in. Corner ring values
+    are never consumed by the kernel — zeros; domain edges zero (the
+    parity-prefolded ring kdinv0 is zero there too). Built ONCE per
+    smooth() call and amortized over its sweeps."""
+    def halo1(arr, name, axis):
+        n_sh = mesh.shape[name]
+        nl = arr.shape[axis]
+        lo = lax.slice_in_dim(arr, 0, 1, axis=axis)
+        hi = lax.slice_in_dim(arr, nl - 1, nl, axis=axis)
+        if n_sh == 1:
+            return jnp.zeros_like(lo), jnp.zeros_like(hi)
+        fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+        bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+        glo = lax.ppermute(hi, name, fwd)
+        ghi = lax.ppermute(lo, name, bwd)
+        idx = lax.axis_index(name)
+        glo = jnp.where(idx == 0, jnp.zeros_like(glo), glo)
+        ghi = jnp.where(idx == n_sh - 1, jnp.zeros_like(ghi), ghi)
+        return glo, ghi
+
+    def body(rl):
+        ilo, ihi = halo1(rl, "x", 0)
+        re = jnp.concatenate([ilo, rl, ihi], 0)
+        jlo, jhi = halo1(re, "y", 1)
+        re = jnp.concatenate([jlo, re, jhi], 1)
+        return jnp.pad(re, ((0, 0), (7, 7), (0, 0)))
+
+    return shard_map(body, mesh=mesh, in_specs=_SPEC,
+                     out_specs=_SPEC, check_vma=False)(rhs)
+
+
+def r1_gsrb2_sharded(mesh: Mesh, level: Level, x, rhs2,
+                     cfg: SolverConfig, taps_key: str):
+    """One distributed fused red+black GSRB sweep: a single 2-deep slab
+    exchange + ONE kernel launch per FULL sweep — half the messages and
+    launches of the half-sweep schedule. ``rhs2`` from
+    ``r1_gsrb2_rhs_sharded``; the coefficient/dinv ring views ride in
+    the per-shard ``level.k2`` (build_sharded_k2_r1)."""
+    from hpgmg_tpu.kernels.stencils_r1 import _TAPS, r1_gsrb2_call_slab
+
+    b_h2inv = cfg.b * level.h2inv
+    suite = level.kernel_suite
+    var7 = suite == "var7"
+    const_a = 0.0 if var7 else cfg.a
+    a_alpha = (cfg.a if cfg.helmholtz else 0.0) if var7 else 0.0
+    taps = _TAPS[taps_key]
+    k2 = level.k2
+    k2_present = [v for v in k2 if v is not None]
+    args = [x, rhs2, level.kdinv[1]] + k2_present
+    in_specs = tuple(_SPEC for _ in args)
+
+    def body(xl, r2l, d1l, *k2l):
+        it = iter(k2l)
+        k2_local = tuple(next(it) if v is not None else None for v in k2)
+        ilo, ihi, jlo, jhi = slabs2_for_kernel_r1(xl, mesh, taps)
+        flags = [lax.axis_index("x") == 0,
+                 lax.axis_index("x") == mesh.shape["x"] - 1,
+                 lax.axis_index("y") == 0,
+                 lax.axis_index("y") == mesh.shape["y"] - 1]
+        ef = jnp.concatenate(
+            [jnp.stack(flags).astype(xl.dtype), jnp.zeros(4, xl.dtype)])
+        ef = jnp.broadcast_to(ef.reshape(1, 8, 1), (1, 8, xl.shape[2]))
+        return r1_gsrb2_call_slab(xl, ilo, ihi, jlo, jhi, ef, k2_local,
+                                  d1l, r2l, b_h2inv, suite, taps_key,
+                                  a_alpha=a_alpha, const_a=const_a)
+
+    return shard_map(body, mesh=mesh, in_specs=in_specs,
+                     out_specs=_SPEC, check_vma=False)(*args)
+
+
 # ---------------------------------------------------------------------------
 # per-shard coefficient views (cut at shard_hierarchy time)
 # ---------------------------------------------------------------------------
@@ -574,3 +711,40 @@ def build_sharded_views_r1(mesh: Mesh, level: Level):
                       for q in range(sy)] for p in range(sx)])
     put = lambda a: jax.device_put(a, sh)  # noqa: E731
     return put(kbi), put(kbj), put(kbk), put(kbk_top), kdinv
+
+
+def build_sharded_k2_r1(mesh: Mesh, level: Level, cfg: SolverConfig):
+    """Per-shard pre-padded double-sweep ring views (Level.k2 for the
+    slab2 path), stacked P('x','y')-sharded: per-shard cuts of the
+    GLOBAL padded views (stencils_r1.r1_gsrb2_views) WITH each shard's
+    1-deep neighbor ring baked in — interior-shard ring values are the
+    true neighbor coefficients, domain edges the zero padding, so the
+    double-sweep kernel needs no runtime coefficient exchange at all."""
+    from hpgmg_tpu.core.level import rb_mask
+    from hpgmg_tpu.kernels.stencils_r1 import r1_gsrb2_views
+
+    sx, sy = mesh.shape["x"], mesh.shape["y"]
+    n = level.dim
+    nli, nlj = n // sx, n // sy
+    var7 = level.kernel_suite == "var7"
+    kdinv0 = rb_mask(n, 0, level.dinv.dtype) * level.dinv
+    alpha = level.alpha if (cfg.helmholtz and var7) else None
+    G = r1_gsrb2_views(level.beta_i if var7 else None,
+                       level.beta_j, level.beta_k, kdinv0, alpha)
+
+    def stack(V, ilen):
+        blocks = [[V[p * nli:p * nli + ilen,
+                     q * nlj:q * nlj + nlj + 16, :]
+                   for q in range(sy)] for p in range(sx)]
+        return jnp.concatenate(
+            [jnp.concatenate(row, axis=1) for row in blocks], axis=0)
+
+    sh = NamedSharding(mesh, _SPEC)
+    put = lambda a: jax.device_put(a, sh)  # noqa: E731
+    k2d0 = put(stack(G[0], nli + 2))
+    k2a = put(stack(G[1], nli + 2)) if G[1] is not None else None
+    if not var7:
+        return (k2d0, k2a, None, None, None, None)
+    return (k2d0, k2a, put(stack(G[2], nli + 3)),
+            put(stack(G[3], nli + 2)), put(stack(G[4], nli + 2)),
+            put(stack(G[5], nli + 2)))

@@ -369,6 +369,79 @@ def test_single_chip_slab_parity(interpret):
 
 
 @requires_8dev
+@pytest.mark.parametrize("name", ["fv2", "27pt"])
+def test_sharded_gsrb2_matches_xla(interpret, name):
+    """Distributed fused red+black double sweep (slab2: ONE 2-deep slab
+    exchange + ONE launch per full sweep, per-shard k2 ring views) ==
+    the XLA smoother. Exercises shard-interior edges (exchanged red ring
+    kept) and domain edges (in-kernel ghost re-synthesis gated by the
+    eflags operand) on the 4x2 mesh."""
+    from hpgmg_tpu.kernels import stencils_r1 as K1
+
+    old = K1.GSRB2
+    K1.GSRB2 = True
+    try:
+        cfg, hier, prob = _setup_r1(name)
+        op = get_suite(name)
+        import dataclasses
+
+        cfg_xla = dataclasses.replace(cfg, kernels="xla")
+        lv = hier.levels[0]
+        x = prob.f / (1.0 + jnp.max(jnp.abs(prob.f)))
+        rhs = prob.f
+        ref = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg_xla))(
+            lv, x, rhs)
+        mesh = make_mesh_ij()
+        hier_s = shard_hierarchy(mesh, hier, cfg)
+        lvs = hier_s.levels[0]
+        assert lvs.k2 is not None  # slab2-eligible at 16x32 local blocks
+        with active_mesh(mesh):
+            out = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg))(
+                lvs, shard_array(mesh, x), shard_array(mesh, rhs))
+    finally:
+        K1.GSRB2 = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-12, atol=5e-13)
+
+
+@requires_8dev
+def test_sharded_gsrb2_helmholtz_matches_xla(interpret):
+    """slab2 with the Helmholtz a*alpha*x term: alpha rides as the
+    per-shard padded k2 ring view."""
+    import dataclasses
+
+    from hpgmg_tpu.core.config import BC
+    from hpgmg_tpu.kernels import stencils_r1 as K1
+
+    old = K1.GSRB2
+    K1.GSRB2 = True
+    try:
+        cfg = SolverConfig(op="fv7pt", a=0.9, b=1.0, helmholtz=True,
+                           dtype=jnp.float64, kernels="pallas",
+                           bc=BC.DIRICHLET)
+        prob = init_problem_fv(64, dtype=jnp.float64)
+        hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k,
+                               cfg, alpha=prob.alpha)
+        op = get_suite("fv7pt")
+        cfg_xla = dataclasses.replace(cfg, kernels="xla")
+        lv = hier.levels[0]
+        x = prob.f / (1.0 + jnp.max(jnp.abs(prob.f)))
+        ref = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg_xla))(
+            lv, x, prob.f)
+        mesh = make_mesh_ij()
+        hier_s = shard_hierarchy(mesh, hier, cfg)
+        lvs = hier_s.levels[0]
+        assert lvs.k2 is not None and lvs.k2[1] is not None
+        with active_mesh(mesh):
+            out = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg))(
+                lvs, shard_array(mesh, x), shard_array(mesh, prob.f))
+    finally:
+        K1.GSRB2 = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-12, atol=5e-13)
+
+
+@requires_8dev
 def test_sharded_r1_slab_vs_ext_paths(interpret, monkeypatch):
     """Radius-1 slab fast path (thin 1-deep slab exchange + masked-window
     kernel, stencils_r1.r1_call_slab) vs the ext fallback — both
