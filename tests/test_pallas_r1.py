@@ -169,6 +169,36 @@ def test_solve_identical_convergence(name):
     assert abs(res["pallas"][1] - res["xla"][1]) < 1e-12
 
 
+@pytest.mark.parametrize("name", SUITES)
+def test_solve_identical_convergence_gsrb2(name):
+    """Whole-solve A/B with the fused double-sweep smoother ON: the
+    GSRB2 F-cycle must converge identically to the XLA one (all levels,
+    rebuild probes, mixed eligible/ineligible-level routing)."""
+    from hpgmg_tpu.solve.mg import fmg_solve
+
+    a = 1.0 if name == "27pt" else 0.0
+    base_cfg = SolverConfig(op=name, a=a, dtype=jnp.float64)
+    prob = init_problem_fv(48, dtype=jnp.float64)
+    res = {}
+    old = K1.GSRB2
+    try:
+        for kern in ("pallas", "xla"):
+            K1.GSRB2 = kern == "pallas"
+            cfg = dataclasses.replace(base_cfg, kernels=kern)
+            hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k,
+                                   cfg, alpha=prob.alpha)
+            op = get_suite(name)
+            if kern == "pallas":
+                assert hier.levels[0].k2 is not None
+            u, norm_r, norm_f = fmg_solve(op, hier, prob.f, cfg)
+            res[kern] = (np.asarray(u), float(norm_r) / float(norm_f))
+    finally:
+        K1.GSRB2 = old
+    np.testing.assert_allclose(res["pallas"][0], res["xla"][0],
+                               rtol=1e-10, atol=1e-12)
+    assert abs(res["pallas"][1] - res["xla"][1]) < 1e-12
+
+
 def test_slab_call_matches_xla(setup):
     """r1_call_slab with BC-fill slabs (single_chip_slabs_r1) == the XLA
     path on one whole-domain block — the distributed slab fast path's
