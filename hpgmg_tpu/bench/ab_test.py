@@ -68,32 +68,47 @@ def run_ab(n: int, dtype=jnp.float32, periodic: bool = False,
         lambda h, f: fmg_solve(op, h, f, cfg_x))(hier, f)
 
     if opname != "fv4":
-        # radius-1 family: one Dirichlet masked path (no ext variant)
-        paths = [("pallas", None)]
+        # radius-1 family: Dirichlet masked path + the fused
+        # double-sweep smoother (GSRB2 — affects gsrb/fcycle only)
+        paths = [("pallas", None)] + (
+            [("pallas-gsrb2", "gsrb2")] if not periodic else [])
     elif periodic:
         paths = [("pallas", False)]
     else:
         paths = [("pallas", False), ("pallas-ext", True)]
     for name, ext in paths:
+        import hpgmg_tpu.kernels.stencils_r1 as K1
+
         old = K.SINGLE_EXT
-        if ext is not None:
+        old2 = K1.GSRB2
+        hier_p = hier
+        if ext == "gsrb2":
+            K1.GSRB2 = True
+            hier_p = build_hierarchy(prob.beta_i, prob.beta_j,
+                                     prob.beta_k, cfg_p)
+            assert hier_p.levels[0].k2 is not None
+            lv0_p = hier_p.levels[0]
+        elif ext is not None:
             K.SINGLE_EXT = ext
+        if ext != "gsrb2":
+            lv0_p = lv0
         try:
             d_apply = _maxrel(jax.jit(
-                lambda lv, x: op.apply_op(lv, x, cfg_p))(lv0, x0), ref_apply)
+                lambda lv, x: op.apply_op(lv, x, cfg_p))(lv0_p, x0),
+                ref_apply)
             d_res = _maxrel(jax.jit(
-                lambda lv, x, r: op.residual(lv, x, r, cfg_p))(lv0, x0, f),
+                lambda lv, x, r: op.residual(lv, x, r, cfg_p))(lv0_p, x0, f),
                 ref_res)
             # one full GSRB smooth (6 half-sweeps) through each path
             from hpgmg_tpu.solve.smoothers import gsrb
 
             d_gs = _maxrel(
                 jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg_p))(
-                    lv0, x0, f),
+                    lv0_p, x0, f),
                 jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg_x))(
                     lv0, x0, f))
             u, r, nf = jax.jit(
-                lambda h, f: fmg_solve(op, h, f, cfg_p))(hier, f)
+                lambda h, f: fmg_solve(op, h, f, cfg_p))(hier_p, f)
             d_u = _maxrel(u, ref_u)
             out[name] = dict(apply=d_apply, residual=d_res, gsrb=d_gs,
                              fcycle_u=d_u,
@@ -101,6 +116,7 @@ def run_ab(n: int, dtype=jnp.float32, periodic: bool = False,
                              rel_res_xla=float(ref_r) / float(ref_f))
         finally:
             K.SINGLE_EXT = old
+            K1.GSRB2 = old2
     return out
 
 
