@@ -57,3 +57,55 @@ def test_distributed_flop_overhead():
     # the serial work for weak scaling to hold on real chips.
     overhead = 8.0 * dist / serial
     assert overhead < 2.0, (serial, dist, overhead)
+
+
+@requires_8dev
+def test_gsrb2_halves_exchange_rounds():
+    """The distributed double-sweep schedule (slab2) must compile to
+    FEWER collective-permutes per smooth than the per-half-sweep
+    schedule — the deterministic form of its 'one exchange per full
+    sweep' claim (6 half-sweeps x 4 permutes = 24 vs 3 sweeps x 4 + the
+    once-per-smooth rhs ring = 16 before XLA merging)."""
+    import dataclasses
+
+    from hpgmg_tpu.core.config import SolverConfig
+    from hpgmg_tpu.core.hierarchy import build_hierarchy
+    from hpgmg_tpu.kernels import stencils, stencils_r1
+    from hpgmg_tpu.ops.base import get_suite
+    from hpgmg_tpu.parallel.mesh import (active_mesh, make_mesh_ij,
+                                         shard_array, shard_hierarchy)
+    from hpgmg_tpu.problems.fv import init_problem_fv
+    from hpgmg_tpu.solve.smoothers import gsrb
+
+    cfg = SolverConfig(op="fv2", a=0.0, dtype=jnp.float32,
+                       kernels="pallas")
+    op = get_suite("fv2")
+    prob = init_problem_fv(64, dtype=jnp.float32)
+    mesh = make_mesh_ij()
+
+    def permute_count(gsrb2: bool):
+        old_i, old_2 = stencils.INTERPRET, stencils_r1.GSRB2
+        stencils.INTERPRET = True
+        stencils_r1.GSRB2 = gsrb2
+        try:
+            hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k,
+                                   cfg)
+            hier_s = shard_hierarchy(mesh, hier, cfg)
+            lv = hier_s.levels[0]
+            if gsrb2:
+                assert lv.k2 is not None
+            x = shard_array(mesh, jnp.zeros_like(prob.f))
+            r = shard_array(mesh, prob.f)
+            with active_mesh(mesh):
+                txt = jax.jit(
+                    lambda lv, x, r: gsrb(op, lv, x, r, cfg)
+                ).lower(lv, x, r).compile().as_text()
+        finally:
+            stencils.INTERPRET = old_i
+            stencils_r1.GSRB2 = old_2
+        return txt.count("collective-permute")
+
+    half = permute_count(False)
+    fused = permute_count(True)
+    assert fused < half, (half, fused)
+    assert fused <= 0.75 * half, (half, fused)
