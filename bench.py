@@ -21,13 +21,37 @@ import sys
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+BASELINE_DOF_S = 2.781e8  # README.md:303 (reference)
+
+
+def _device_init_ok(timeout_s: int = 240) -> bool:
+    """The axon tunnel can go FULLY down — ``jax.devices()`` then hangs
+    forever (CLAUDE.md). Probe device init in a subprocess so a dead
+    tunnel yields an error JSON line instead of a hung driver."""
+    import subprocess
+    try:
+        subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                       timeout=timeout_s, check=True,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return True
+    except Exception:
+        return False
+
+
+if (os.environ.get("HPGMG_BENCH_SKIP_PROBE", "0") != "1"
+        and not _device_init_ok()):
+    print(json.dumps({
+        "metric": "fv4_fcycle_dof_per_s", "value": 0.0, "unit": "DOF/s",
+        "vs_baseline": 0.0,
+        "error": "accelerator unreachable: jax.devices() timed out "
+                 "(tunnel down)"}))
+    sys.exit(0)
+
 import jax
 import jax.numpy as jnp
 
 from hpgmg_tpu.core.config import BottomSolver, Smoother, SolverConfig
 from hpgmg_tpu.bench.driver import run_benchmark
-
-BASELINE_DOF_S = 2.781e8  # README.md:303 (reference)
 
 
 def main():

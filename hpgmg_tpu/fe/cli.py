@@ -18,7 +18,12 @@ import jax.numpy as jnp
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(description="TPU HPGMG-FE driver")
+    p = argparse.ArgumentParser(
+        description="TPU HPGMG-FE driver",
+        epilog="The remaining fefas-test.c bodies (test-fetransfer, "
+               "test-op, test-opdiagonal, test-sampler) run as pytest "
+               "goldens: tests/test_fe.py, tests/test_fe_sampler.py, "
+               "tests/test_reference_golden.py.")
     p.add_argument("action", choices=["fmg", "mgv", "sample",
                                       "test-kspsolve", "test-grid",
                                       "test-fespace", "test-feinject"])
