@@ -1,0 +1,53 @@
+"""Interpret-mode smokes for the on-hardware bench tools.
+
+kernel_sweep and ab_test are hardware tools (they measure Mosaic
+kernels on the chip), but their drive logic — operand plumbing, variant
+flags, hierarchy rebuild per path — is backend-independent and rots
+silently without CI. These smokes run each tool's core function once in
+interpreter mode on tiny grids; timings are meaningless, only "runs and
+agrees" is asserted.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hpgmg_tpu.kernels import stencils
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    old = stencils.INTERPRET
+    stencils.INTERPRET = True
+    yield
+    stencils.INTERPRET = old
+
+
+@pytest.mark.parametrize("variant", ["pallas", "slab", "gsrb2"])
+def test_kernel_sweep_r1_variants(variant):
+    from hpgmg_tpu.bench.kernel_sweep import time_sweeps
+
+    t = time_sweeps(32, ext=False, reps=1, opname="fv7pt",
+                    kernels="pallas", slab=variant == "slab",
+                    gsrb2=variant == "gsrb2")
+    assert t > 0.0
+
+
+def test_kernel_sweep_fv4_masked_and_slab():
+    from hpgmg_tpu.bench.kernel_sweep import time_sweeps
+
+    assert time_sweeps(32, ext=False, reps=1) > 0.0
+    assert time_sweeps(32, ext=False, reps=1, slab=True) > 0.0
+
+
+def test_ab_test_r1_paths():
+    """run_ab covers the masked and GSRB2 paths for a radius-1 op and
+    both must pass the tool's own parity gates."""
+    from hpgmg_tpu.bench.ab_test import run_ab
+
+    res = run_ab(32, opname="fv2")
+    assert set(res) == {"pallas", "pallas-gsrb2"}
+    for d in res.values():
+        assert d["apply"] < 2e-5 and d["gsrb"] < 2e-5
+        assert abs(d["rel_res"] - d["rel_res_xla"]) <= (
+            0.3 * d["rel_res_xla"] + 1e-12)
