@@ -44,6 +44,14 @@ def main(argv=None):
                    choices=["float32", "float64", "bfloat16"])
     p.add_argument("--dynamic-range", type=int, default=3,
                    help="solve at h, 2h, 4h for Richardson (DYNAMIC_RANGE)")
+    p.add_argument("--problem", default=None,
+                   choices=["fv", "p4", "p6", "sine"],
+                   help="problem setup override (default: fv for fv2/fv4, "
+                        "p6 otherwise — local.mk:4-11)")
+    p.add_argument("--test-error", action="store_true",
+                   help="TEST_ERROR mode (hpgmg-fv.c:317-348): report "
+                        "error vs the analytic solution at h/2h/4h "
+                        "instead of DOF/s (needs a pointwise --problem)")
     p.add_argument("--min-seconds", type=float, default=1.0)
     p.add_argument("--timing-table", action="store_true",
                    help="print the per-level x per-op breakdown "
@@ -80,6 +88,15 @@ def main(argv=None):
 
     print(f"  op={args.op} smoother={args.smoother} bottom={args.bottom} "
           f"n={args.n} dtype={args.dtype}")
+    if args.test_error:
+        from hpgmg_tpu.bench.driver import run_test_error
+
+        problem = args.problem or ("p6" if args.op in ("fv7pt", "27pt")
+                                   else "sine")
+        print(f"  TEST_ERROR mode, problem={problem}")
+        run_test_error(args.n, cfg, problem=problem,
+                       levels=min(3, args.dynamic_range))
+        return 0
     res = run_benchmark(args.n, cfg, dynamic_range=args.dynamic_range,
                         min_solve_seconds=args.min_seconds)
     print(f"  DOF/s == {res.dof_per_second:.3e}")

@@ -34,18 +34,40 @@ class BenchResult:
     richardson_order: Optional[float] = None
 
 
-def _build(n: int, cfg: SolverConfig, mesh=None):
-    # the fv2/fv4 suites wire the cell-averaged sin^7 benchmark problem
-    # (problem.fv.c); the pointwise suites use problem.p6
-    if cfg.op in ("fv2", "fv4"):
-        from hpgmg_tpu.core.config import BC
+def _build_problem(n: int, cfg: SolverConfig, problem: Optional[str] = None):
+    """Problem setup: the fv2/fv4 suites default to the cell-averaged
+    sin^7 benchmark problem (problem.fv.c, wired by local.mk:4-11); the
+    pointwise suites to problem.p6. ``problem`` overrides with any of the
+    reference's pointwise initializers (p4/p6/sine — all carry an analytic
+    u for the TEST_ERROR mode, hpgmg-fv.c:317-348)."""
+    from hpgmg_tpu.core.config import BC
+
+    periodic = cfg.bc == BC.PERIODIC
+    if problem is None:
+        problem = "fv" if cfg.op in ("fv2", "fv4") else "p6"
+    if problem == "fv":
         from hpgmg_tpu.problems.fv import init_problem_fv
 
-        prob = init_problem_fv(n, dtype=cfg.dtype,
-                               periodic=(cfg.bc == BC.PERIODIC))
-    else:
-        prob = init_problem_p6(n, dtype=cfg.dtype, a=cfg.a, b=cfg.b,
-                               helmholtz=cfg.helmholtz)
+        return init_problem_fv(n, dtype=cfg.dtype, periodic=periodic)
+    if problem == "sine":
+        from hpgmg_tpu.problems.sine import init_problem_sine
+
+        # the sine products satisfy both BC families as-is (problem.sine.c)
+        return init_problem_sine(n, dtype=cfg.dtype, a=cfg.a, b=cfg.b,
+                                 helmholtz=cfg.helmholtz)
+    if problem == "p4":
+        from hpgmg_tpu.problems.p4 import init_problem_p4
+
+        return init_problem_p4(n, dtype=cfg.dtype, periodic=periodic,
+                               a=cfg.a, b=cfg.b, helmholtz=cfg.helmholtz)
+    assert problem == "p6", problem
+    return init_problem_p6(n, dtype=cfg.dtype, periodic=periodic, a=cfg.a,
+                           b=cfg.b, helmholtz=cfg.helmholtz)
+
+
+def _build(n: int, cfg: SolverConfig, mesh=None,
+           problem: Optional[str] = None):
+    prob = _build_problem(n, cfg, problem)
     hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
                            alpha=prob.alpha)
     f = prob.f
@@ -61,11 +83,47 @@ def _build(n: int, cfg: SolverConfig, mesh=None):
     return hier, f
 
 
+def run_test_error(n: int, cfg: SolverConfig, problem: str = "p6",
+                   levels: int = 3, verbose: bool = True):
+    """TEST_ERROR mode (hpgmg-fv.c:317-348): instead of the DOF/s
+    benchmark, solve at h, 2h, 4h with a pointwise problem that carries an
+    analytic solution (problem.p4/p6/sine) and report the error against it
+    plus the observed convergence order between resolutions. Returns
+    [(n, max_err, l2_err), ...] fine-to-coarse."""
+    from hpgmg_tpu.core import blas
+
+    op = get_suite(cfg.op)
+    rows = []
+    for lev in range(levels):
+        nl = n >> lev
+        prob = _build_problem(nl, cfg, problem)
+        hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
+                               alpha=prob.alpha)
+        u, _, _ = jax.jit(lambda h_, f_: fmg_solve(op, h_, f_, cfg))(
+            hier, prob.f)
+        e = u - prob.u_true
+        max_err = float(blas.norm(e))
+        l2_err = float(jnp.sqrt(blas.mean(e * e)))
+        rows.append((nl, max_err, l2_err))
+        if verbose:
+            print(f"  h={1.0 / nl:.6e}  {nl}^3  "
+                  f"error_max={max_err:.6e}  error_L2={l2_err:.6e}")
+    if verbose and len(rows) >= 2:
+        import math
+
+        orders = [math.log2(rows[i + 1][1] / rows[i][1])
+                  for i in range(len(rows) - 1)]
+        print("  observed order (max-norm): "
+              + ", ".join(f"{o:.2f}" for o in orders))
+    return rows
+
+
 def run_benchmark(n: int, cfg: SolverConfig, mesh=None,
                   min_solve_seconds: float = 1.0, max_solves: int = 100,
-                  dynamic_range: int = 1, verbose: bool = True) -> BenchResult:
+                  dynamic_range: int = 1, verbose: bool = True,
+                  problem: Optional[str] = None) -> BenchResult:
     op = get_suite(cfg.op)
-    hier, f = _build(n, cfg, mesh)
+    hier, f = _build(n, cfg, mesh, problem)
 
     from hpgmg_tpu.core.config import CycleType
     from hpgmg_tpu.solve.mg import mg_solve_fixed
@@ -130,7 +188,7 @@ def run_benchmark(n: int, cfg: SolverConfig, mesh=None,
         # Richardson: solve at 2h and 4h, compare restrictions (mg.c:1113)
         sols = [u]
         for k in (2, 4):
-            hk, fk = _build(n // k, cfg, mesh)
+            hk, fk = _build(n // k, cfg, mesh, problem)
             with active_mesh(mesh):
                 uk, _, _ = jax.jit(
                     lambda hk, f: fmg_solve(op, hk, f, cfg))(hk, fk)

@@ -90,13 +90,22 @@ def init_problem_p6(n: int, dtype=jnp.float64, periodic: bool = False,
     (x - h/2, y, z) etc., i.e. at face centers. Traced into one program
     (eager execution dispatches dozens of tiny kernels).
     """
-    if h is None:
-        h = 1.0 / n
-    return jax.jit(_init_problem_p6, static_argnums=(0, 1, 2, 3, 4, 5, 6))(
-        n, jnp.dtype(dtype).name, periodic, a, b, helmholtz, h)
+    return _init_pointwise(evaluate_u, n, dtype, periodic, a, b, helmholtz,
+                           1.0 / n if h is None else h)
 
 
-def _init_problem_p6(n, dtype, periodic, a, b, helmholtz, h) -> ProblemP6:
+def _init_pointwise(eval_u, n, dtype, periodic, a, b, helmholtz,
+                    h) -> ProblemP6:
+    """Shared pointwise initializer: ``eval_u`` supplies the manufactured
+    solution (p6 degree-6, p4 quartic — problems/p4.py); beta and the
+    face/cell evaluation protocol are common to both reference problems."""
+    return jax.jit(_init_problem_pw,
+                   static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))(
+        eval_u, n, jnp.dtype(dtype).name, periodic, a, b, helmholtz, h)
+
+
+def _init_problem_pw(eval_u, n, dtype, periodic, a, b, helmholtz,
+                     h) -> ProblemP6:
     dtype = jnp.dtype(dtype)
     xc = _centers(n, h, dtype, False, 0)
     yc = _centers(n, h, dtype, False, 1)
@@ -114,7 +123,7 @@ def _init_problem_p6(n, dtype, periodic, a, b, helmholtz, h) -> ProblemP6:
     beta_k = jnp.broadcast_to(beta_k, (n, n, n + 1))
 
     bcc, bx, by, bz = evaluate_beta(xc, yc, zc)
-    u, ux, uy, uz, uxx, uyy, uzz = evaluate_u(xc, yc, zc, periodic)
+    u, ux, uy, uz, uxx, uyy, uzz = eval_u(xc, yc, zc, periodic)
     alpha = jnp.ones((n, n, n), dtype)
     au = a * alpha * u if helmholtz else jnp.zeros((n, n, n), dtype)
     f = au - b * ((bx * ux + by * uy + bz * uz) + bcc * (uxx + uyy + uzz))

@@ -84,3 +84,32 @@ class TestFV4Sharded:
         np.testing.assert_allclose(np.asarray(u_par), np.asarray(u_ser),
                                    rtol=1e-11, atol=1e-13)
         np.testing.assert_allclose(float(r_par), float(r_ser), rtol=1e-9)
+
+
+class TestP4Problem:
+    def test_p4_fields_and_order(self):
+        """problem.p4.c: quartic manufactured solution; the 7pt solve error
+        converges at ~2nd order, and the TEST_ERROR driver mode
+        (hpgmg-fv.c:317-348) reports it."""
+        from hpgmg_tpu.bench.driver import run_test_error
+        from hpgmg_tpu.problems.p4 import init_problem_p4
+
+        prob = init_problem_p4(16, dtype=jnp.float64)
+        assert prob.beta_i.shape == (17, 16, 16)
+        # u vanishes on the Dirichlet boundary: X(0)=X(1)=0
+        assert float(jnp.abs(prob.u_true[0]).max()) < 4e-3  # cell centers
+        cfg = SolverConfig(op="fv7pt", a=0.0, dtype=jnp.float64)
+        rows = run_test_error(32, cfg, problem="p4", levels=2,
+                              verbose=False)
+        (n1, e1, _), (n2, e2, _) = rows
+        assert (n1, n2) == (32, 16)
+        order = float(np.log2(e2 / e1))
+        assert 1.4 < order < 2.6, rows
+
+    def test_p4_periodic_zero_mean(self):
+        """Periodic shift -1/30 makes the rhs integrate to ~0
+        (problem.p4.c:44-47 rationale)."""
+        from hpgmg_tpu.problems.p4 import init_problem_p4
+
+        prob = init_problem_p4(16, dtype=jnp.float64, periodic=True)
+        assert abs(float(prob.f.mean())) < 2e-3
