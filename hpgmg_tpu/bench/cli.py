@@ -52,6 +52,11 @@ def main(argv=None):
                    help="TEST_ERROR mode (hpgmg-fv.c:317-348): report "
                         "error vs the analytic solution at h/2h/4h "
                         "instead of DOF/s (needs a pointwise --problem)")
+    p.add_argument("--driver", default=None, choices=["fmg2", "mgpcg"],
+                   help="run the iterated-F-cycle (FMGSolve2, "
+                        "mg.c:1348-1495) or MG-preconditioned-CG (MGPCG, "
+                        "mg.c:1500-1607) driver and print its convergence "
+                        "history instead of the DOF/s benchmark")
     p.add_argument("--min-seconds", type=float, default=1.0)
     p.add_argument("--timing-table", action="store_true",
                    help="print the per-level x per-op breakdown "
@@ -88,6 +93,26 @@ def main(argv=None):
 
     print(f"  op={args.op} smoother={args.smoother} bottom={args.bottom} "
           f"n={args.n} dtype={args.dtype}")
+    if args.driver:
+        import time
+
+        from hpgmg_tpu.bench.driver import _build
+        from hpgmg_tpu.ops.base import get_suite
+        from hpgmg_tpu.solve.mg import fmg_solve2, mgpcg
+
+        hier, f = _build(args.n, cfg, problem=args.problem)
+        op = get_suite(cfg.op)
+        run = (lambda: fmg_solve2(op, hier, f, cfg, verbose=True)
+               ) if args.driver == "fmg2" else (
+            lambda: mgpcg(op, hier, f, cfg, verbose=True))
+        _, history = run()      # warmup/compile pass
+        t0 = time.perf_counter()
+        _, history = run()
+        dt = time.perf_counter() - t0
+        print(f"  {args.driver}: {len(history)} iterations, "
+              f"rel_res={history[-1]:.3e}, {dt:.4f} s "
+              f"({args.n ** 3 / dt:.3e} DOF/s incl. dispatch)")
+        return 0
     if args.test_error:
         from hpgmg_tpu.bench.driver import run_test_error
 

@@ -51,3 +51,29 @@ def test_ab_test_r1_paths():
         assert d["apply"] < 2e-5 and d["gsrb"] < 2e-5
         assert abs(d["rel_res"] - d["rel_res_xla"]) <= (
             0.3 * d["rel_res_xla"] + 1e-12)
+
+
+def test_cli_driver_modes(capsys):
+    """--driver fmg2/mgpcg run the two extra reference solve drivers
+    (mg.c:1348-1495, mg.c:1500-1607) end-to-end from the CLI."""
+    from hpgmg_tpu.bench.cli import main
+
+    main(["--n", "16", "--op", "fv7pt", "--driver", "mgpcg",
+          "--dtype", "float64"])
+    out = capsys.readouterr().out
+    assert "mgpcg:" in out and "rel_res=" in out
+    main(["--n", "16", "--op", "fv7pt", "--driver", "fmg2",
+          "--dtype", "float64"])
+    out = capsys.readouterr().out
+    assert "fmg2:" in out
+
+
+def test_cli_test_error_mode(capsys):
+    """--test-error reports error vs the analytic solution (TEST_ERROR,
+    hpgmg-fv.c:317-348) with a ~2nd-order trend for fv7pt."""
+    from hpgmg_tpu.bench.cli import main
+
+    main(["--n", "16", "--op", "fv7pt", "--test-error", "--problem",
+          "p4", "--dtype", "float64", "--dynamic-range", "2"])
+    out = capsys.readouterr().out
+    assert "error_max=" in out and "observed order" in out
