@@ -130,6 +130,50 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
     return dt / (reps * nhalf)
 
 
+def cost_model(opname: str, n: int, prediff: bool = False):
+    """Analytic (ops_per_cell, hbm_bytes_per_cell) estimate for one GSRB
+    half-sweep of the masked kernel — the roofline numerator for the
+    achieved-rate lines. Ops: the documented VPU counts (~55/cell for the
+    fv4 flux form incl. ghost/blend overhead, ~40 with PREDIFF — CLAUDE.md
+    / docs/GSRB_VPU.md; ~28 for the radius-1 suites, ~88 for the dense
+    27pt). Bytes: operand streams x f32, inflated by the tile window
+    overlap actually selected at this size (windows re-read halo rows)."""
+    import hpgmg_tpu.kernels.stencils as K
+    import hpgmg_tpu.kernels.stencils_r1 as K1
+
+    if opname == "fv4":
+        ts = K.tile_shape(n, prediff)
+        if ts is None:
+            return None
+        bi, bj = ts
+        ops = 40.0 if prediff else 55.0
+        x_ovl = (bi + 4) * (bj + 16) / (bi * bj)
+        c_ovl = (bi + 2) * (bj + 8) / (bi * bj)
+        streams = x_ovl + 3 * c_ovl + 3.0  # x + betas + rhs/dinv/out
+        if prediff:
+            streams += 6 * bi * (bj + 8) / (bi * bj)
+        return ops, 4.0 * streams
+    ts = K1.tile_shape_r1(n, opname != "27pt")
+    if ts is None:
+        return None
+    bi, bj = ts
+    var7 = opname != "27pt"
+    ops = 28.0 if var7 else 88.0
+    x_ovl = (bi + 2) * (bj + 16) / (bi * bj)
+    c_ovl = (bi + 1) * (bj + 8) / (bi * bj)
+    streams = x_ovl + (3 * c_ovl if var7 else 0.0) + 3.0
+    return ops, 4.0 * streams
+
+
+def _rates(opname, n, t, prediff=False):
+    cm = cost_model(opname, n, prediff)
+    if cm is None or t <= 0:
+        return ""
+    ops, bts = cm
+    return (f" [~{ops * n ** 3 / t / 1e9:.0f} Gop/s"
+            f" ~{bts * n ** 3 / t / 1e9:.0f} GB/s est]")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--sizes", type=int, nargs="+", default=[128, 256])
@@ -170,7 +214,8 @@ def main(argv=None):
                               kernels="pallas")
             t_x = time_sweeps(n, ext=False, reps=args.reps, opname=args.op,
                               kernels="xla")
-            line = (f"n={n:4d} pallas {t_k * 1e6:8.1f} us/half-sweep | "
+            line = (f"n={n:4d} pallas {t_k * 1e6:8.1f} us/half-sweep"
+                    f"{_rates(args.op, n, t_k)} | "
                     f"xla {t_x * 1e6:8.1f} us | xla/pallas {t_x / t_k:5.2f}")
             if args.slab:
                 t_s = time_sweeps(n, ext=False, reps=args.reps,
@@ -189,7 +234,8 @@ def main(argv=None):
     for n in args.sizes:
         t_mask = time_sweeps(n, ext=False, reps=args.reps)
         t_ext = time_sweeps(n, ext=True, reps=args.reps)
-        line = (f"n={n:4d} masked {t_mask * 1e6:8.1f} us/half-sweep | "
+        line = (f"n={n:4d} masked {t_mask * 1e6:8.1f} us/half-sweep"
+                f"{_rates('fv4', n, t_mask)} | "
                 f"ext {t_ext * 1e6:8.1f} us | ext/masked "
                 f"{t_ext / t_mask:5.2f}")
         if args.mxu:
