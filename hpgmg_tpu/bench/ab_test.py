@@ -55,7 +55,16 @@ def run_ab(n: int, dtype=jnp.float32, periodic: bool = False,
     op = get_suite(opname)
 
     prob = init_problem_fv(n, dtype=dtype, periodic=periodic)
-    hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg_p)
+    # base hierarchy with the double-sweep views OFF so the "pallas"
+    # variant measures the half-sweep path even now that GSRB2 defaults
+    # on (the "pallas-gsrb2" variant rebuilds with it forced on)
+    import hpgmg_tpu.kernels.stencils_r1 as _K1
+    _g_old = _K1.GSRB2
+    _K1.GSRB2 = False
+    try:
+        hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg_p)
+    finally:
+        _K1.GSRB2 = _g_old
     f = prob.f
     x0 = f / (1.0 + float(jnp.max(jnp.abs(f))))
     lv0 = hier.levels[0]
@@ -81,9 +90,11 @@ def run_ab(n: int, dtype=jnp.float32, periodic: bool = False,
 
         old = K.SINGLE_EXT
         old2 = K1.GSRB2
+        old3 = K1.GSRB2_VAR7_ONLY
         hier_p = hier
         if ext == "gsrb2":
             K1.GSRB2 = True
+            K1.GSRB2_VAR7_ONLY = False
             hier_p = build_hierarchy(prob.beta_i, prob.beta_j,
                                      prob.beta_k, cfg_p)
             assert hier_p.levels[0].k2 is not None
@@ -117,6 +128,7 @@ def run_ab(n: int, dtype=jnp.float32, periodic: bool = False,
         finally:
             K.SINGLE_EXT = old
             K1.GSRB2 = old2
+            K1.GSRB2_VAR7_ONLY = old3
     return out
 
 

@@ -47,8 +47,10 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
     old_prediff = K.PREDIFF
     old_maxdim = K.PREDIFF_MAX_DIM
     old_gsrb2 = K1.GSRB2
+    old_var7only = K1.GSRB2_VAR7_ONLY
     K.PREDIFF = prediff  # before build: rebuild_operator attaches kgd
     K1.GSRB2 = gsrb2  # before build: rebuild_operator attaches k2
+    K1.GSRB2_VAR7_ONLY = False  # the A/B measures 27pt too when forced
     if prediff:
         K.PREDIFF_MAX_DIM = max(K.PREDIFF_MAX_DIM, n)  # measure for real
     prob = init_problem_fv(n, dtype=dtype)
@@ -127,6 +129,7 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
         K.PREDIFF = old_prediff
         K.PREDIFF_MAX_DIM = old_maxdim
         K1.GSRB2 = old_gsrb2
+        K1.GSRB2_VAR7_ONLY = old_var7only
     return dt / (reps * nhalf)
 
 

@@ -150,9 +150,16 @@ def tile_shape_slab_r1(ni: int, nj: int, nk: int, var7: bool = True):
 # only by the ring area (~(bi+2)(bj+2)/(bi*bj)) because all operand
 # halos are baked into pre-padded build-time views (Level.k2) — no
 # alignment blends. A/B-able via bench/kernel_sweep.py --gsrb2.
-# Default OFF until the on-hardware A/B validates Mosaic legalization
-# and a win (interpret-mode parity is green: tests/test_pallas_r1.py).
-GSRB2 = False
+# On-hardware A/B (2026-08-18, TPU v5 lite; docs/GSRB2_r03.md): wins
+# for the HBM-leaning variable-coefficient suites (fv7pt 0.93x@128
+# 0.80x@256 vs masked half-sweeps; fv2 1.01x@128 0.82x@256) but LOSES
+# for the op-count-bound constant-coefficient 27pt (1.07x@128
+# 1.03x@256) — hence default ON for var7 only; whole-solve parity on
+# the chip is exact (bench/ab_test.py: rel_res identical to XLA).
+GSRB2 = True
+# the 27pt kernel is VPU-op-bound (docs/GSRB_VPU.md): the double
+# sweep's ring recompute costs more than its stream cut saves there
+GSRB2_VAR7_ONLY = True
 # build-time capacity guard: the k2 views add ~3.4 n^3 f32 fields for
 # the var7 suites (1 for 27pt)
 GSRB2_MAX_DIM = 512
@@ -193,6 +200,7 @@ def gsrb2_eligible(cfg: SolverConfig, dim: int, var7: bool) -> bool:
     tile, so the fusion cannot be local; periodic GSRB keeps
     per-half-sweep exchanges)."""
     return (GSRB2 and dim <= GSRB2_MAX_DIM and cfg.bc == BC.DIRICHLET
+            and (var7 or not GSRB2_VAR7_ONLY)
             and r1_views_eligible(cfg, dim, var7)
             and tile_shape_gsrb2(dim, var7) is not None)
 

@@ -543,9 +543,12 @@ def sharded_gsrb2_eligible(mesh: Mesh, dim: int, cfg: SolverConfig,
     Dirichlet, r1-sharded-eligible, and local blocks large enough for
     the radius-2 masked windows."""
     from hpgmg_tpu.kernels.stencils_r1 import (GSRB2, GSRB2_MAX_DIM,
+                                               GSRB2_VAR7_ONLY,
                                                tile_shape_slab2_r1)
 
     if not GSRB2 or cfg.bc != BC.DIRICHLET or dim > GSRB2_MAX_DIM:
+        return False
+    if GSRB2_VAR7_ONLY and not var7:
         return False
     if not sharded_r1_eligible(mesh, dim, cfg, var7):
         return False

@@ -41,15 +41,16 @@ def setup(request):
                        dtype=jnp.float64)
     # n=48 -> (16, 24) tiles: first/interior/last i tiles, first/last j
     prob = init_problem_fv(48, dtype=jnp.float64)
-    # force the double-sweep views on at build so the gsrb2 tests can
-    # drive the kernel directly (flag defaults off pending hardware A/B)
-    old = K1.GSRB2
-    K1.GSRB2 = True
+    # force the double-sweep views on at build (incl. for 27pt, which
+    # the default policy excludes as a hardware-measured loss) so the
+    # gsrb2 tests can drive the kernel directly
+    old, old_v = K1.GSRB2, K1.GSRB2_VAR7_ONLY
+    K1.GSRB2, K1.GSRB2_VAR7_ONLY = True, False
     try:
         hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg,
                                alpha=prob.alpha)
     finally:
-        K1.GSRB2 = old
+        K1.GSRB2, K1.GSRB2_VAR7_ONLY = old, old_v
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((48, 48, 48)))
     return cfg, prob, hier, get_suite(name), x
@@ -180,8 +181,9 @@ def test_solve_identical_convergence_gsrb2(name):
     base_cfg = SolverConfig(op=name, a=a, dtype=jnp.float64)
     prob = init_problem_fv(48, dtype=jnp.float64)
     res = {}
-    old = K1.GSRB2
+    old, old_v = K1.GSRB2, K1.GSRB2_VAR7_ONLY
     try:
+        K1.GSRB2_VAR7_ONLY = False
         for kern in ("pallas", "xla"):
             K1.GSRB2 = kern == "pallas"
             cfg = dataclasses.replace(base_cfg, kernels=kern)
@@ -193,7 +195,7 @@ def test_solve_identical_convergence_gsrb2(name):
             u, norm_r, norm_f = fmg_solve(op, hier, prob.f, cfg)
             res[kern] = (np.asarray(u), float(norm_r) / float(norm_f))
     finally:
-        K1.GSRB2 = old
+        K1.GSRB2, K1.GSRB2_VAR7_ONLY = old, old_v
     np.testing.assert_allclose(res["pallas"][0], res["xla"][0],
                                rtol=1e-10, atol=1e-12)
     assert abs(res["pallas"][1] - res["xla"][1]) < 1e-12

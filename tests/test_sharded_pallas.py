@@ -378,8 +378,8 @@ def test_sharded_gsrb2_matches_xla(interpret, name):
     eflags operand) on the 4x2 mesh."""
     from hpgmg_tpu.kernels import stencils_r1 as K1
 
-    old = K1.GSRB2
-    K1.GSRB2 = True
+    old, old_v = K1.GSRB2, K1.GSRB2_VAR7_ONLY
+    K1.GSRB2, K1.GSRB2_VAR7_ONLY = True, False
     try:
         cfg, hier, prob = _setup_r1(name)
         op = get_suite(name)
@@ -399,7 +399,7 @@ def test_sharded_gsrb2_matches_xla(interpret, name):
             out = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg))(
                 lvs, shard_array(mesh, x), shard_array(mesh, rhs))
     finally:
-        K1.GSRB2 = old
+        K1.GSRB2, K1.GSRB2_VAR7_ONLY = old, old_v
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-12, atol=5e-13)
 
