@@ -31,7 +31,8 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
                 mxu: bool = False, opname: str = "fv4",
                 kernels: str = "auto", probe_main_only: bool = False,
                 prediff: bool = False, roll_prim: bool = False,
-                slab: bool = False, gsrb2: bool = False) -> float:
+                slab: bool = False, gsrb2: bool = False,
+                bf16c: bool = False) -> float:
     """Seconds per HALF-sweep."""
     import hpgmg_tpu.kernels.stencils as K
     import hpgmg_tpu.kernels.stencils_r1 as K1
@@ -51,6 +52,11 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
     K.PREDIFF = prediff  # before build: rebuild_operator attaches kgd
     K1.GSRB2 = gsrb2  # before build: rebuild_operator attaches k2
     K1.GSRB2_VAR7_ONLY = False  # the A/B measures 27pt too when forced
+    old_bf16c = K.BF16C
+    old_bf16c_dim = K.BF16C_MIN_DIM
+    K.BF16C = bf16c  # before build: rebuild_operator attaches kb16
+    if bf16c:
+        K.BF16C_MIN_DIM = min(K.BF16C_MIN_DIM, n)  # measure any size
     if prediff:
         K.PREDIFF_MAX_DIM = max(K.PREDIFF_MAX_DIM, n)  # measure for real
     prob = init_problem_fv(n, dtype=dtype)
@@ -58,6 +64,14 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
         build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg), cfg)
     lv, f = hier.levels[0], prob.f
     del prob, hier
+    if bf16c and prediff and lv.kb16 is not None:
+        # the gsrb timing loop reads the bf16 kgd copies (kb16[6:14]);
+        # keep the f32 kgd only as a presence marker by aliasing it to
+        # the bf16 entries — at 512^3 the dead f32 copy is 3 GB and
+        # tips the chip into RESOURCE_EXHAUSTED
+        import dataclasses as _dc
+
+        lv = _dc.replace(lv, kgd=lv.kb16[6:14])
     op = get_suite(opname)
 
     old = K.SINGLE_EXT
@@ -130,6 +144,8 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
         K.PREDIFF_MAX_DIM = old_maxdim
         K1.GSRB2 = old_gsrb2
         K1.GSRB2_VAR7_ONLY = old_var7only
+        K.BF16C = old_bf16c
+        K.BF16C_MIN_DIM = old_bf16c_dim
     return dt / (reps * nhalf)
 
 
@@ -202,6 +218,9 @@ def main(argv=None):
     p.add_argument("--gsrb2", action="store_true",
                    help="also time the fused red+black double-sweep "
                         "kernel (radius-1 suites; stencils_r1.GSRB2)")
+    p.add_argument("--bf16c", action="store_true",
+                   help="also time the bf16-coefficient-stream GSRB "
+                        "variant (fv4; kernels/stencils.py BF16C)")
     p.add_argument("--op", default="fv4",
                    choices=["fv4", "fv7pt", "fv2", "27pt"])
     args = p.parse_args(argv)
@@ -254,6 +273,15 @@ def main(argv=None):
             t_d = time_sweeps(n, ext=False, reps=args.reps, prediff=True)
             line += (f" | prediff {t_d * 1e6:8.1f} us "
                      f"(prediff/masked {t_d / t_mask:5.2f})")
+        if args.bf16c:
+            t_b = time_sweeps(n, ext=False, reps=args.reps, bf16c=True)
+            line += (f" | bf16c {t_b * 1e6:8.1f} us "
+                     f"(bf16c/masked {t_b / t_mask:5.2f})")
+            if args.prediff:
+                t_bd = time_sweeps(n, ext=False, reps=args.reps,
+                                   bf16c=True, prediff=True)
+                line += (f" | bf16c+prediff {t_bd * 1e6:8.1f} us "
+                         f"({t_bd / t_mask:5.2f})")
         if args.roll_prim:
             t_r = time_sweeps(n, ext=False, reps=args.reps, roll_prim=True)
             line += (f" | roll-prim {t_r * 1e6:8.1f} us "

@@ -142,5 +142,11 @@ def slim_hierarchy(hier: Hierarchy, cfg: SolverConfig) -> Hierarchy:
             kw.update(beta_i=None, beta_j=None, beta_k=None)
             if cfg.smoother == Smoother.GSRB:
                 kw["dinv"] = None
+                if getattr(lv, "kb16", None) is not None:
+                    # BF16C: GSRB reads the bf16 kdinv copies; the f32
+                    # pair is dead (1 GB at 512^3). Requires the masked
+                    # mode (stencils.SINGLE_EXT False) the views are
+                    # gated to.
+                    kw["kdinv"] = None
         new_levels.append(dataclasses.replace(lv, **kw))
     return Hierarchy(levels=new_levels)

@@ -79,6 +79,14 @@ class Level:
     # k2bk_top); the beta entries are None for the 27pt suite and
     # k2alpha is None unless Helmholtz.
     k2: Optional[tuple] = None
+    # SMOOTHER-ONLY bf16 copies of the fv4 GSRB coefficient operands
+    # (kernels/stencils.py BF16C): the kernel is HBM-bound at 512^3 and
+    # the coefficient streams are ~55% of its traffic; apply/residual
+    # keep the f32 views (they set the discretization accuracy — the
+    # smoother is approximate by construction). Ordered
+    # (kbi, kbj, kbk, kbk_top, kdinv0, kdinv1[, kgd x8]), j-padded to
+    # n+16 for the bf16 sublane granularity (16).
+    kb16: Optional[tuple] = None
     # static: the kernel views above are PER-SHARD stacked views built by
     # shard_hierarchy for the distributed fast path
     # (parallel/shard_kernels.py) rather than single-chip global views

@@ -318,6 +318,49 @@ PREDIFF_MAX_DIM = 256
 _VMEM_BUDGET_PREDIFF = 48 * 2 ** 20
 
 
+# Smoother-only bf16 coefficient streams (A/B via kernel_sweep --bf16c).
+# At 512^3 the GSRB kernel nears HBM saturation (the PREDIFF 1.29x
+# result) and the coefficient operands — 3 beta views + kdinv, ~4 of
+# the ~7.2 n^3 f32 streams per half-sweep — are pure bandwidth: storing
+# bf16 copies (Level.kb16) halves them. ONLY the smoother reads them:
+# apply/residual keep the f32 views because they set the discretization
+# accuracy, while a smoother with an O(2^-9)-perturbed operator is
+# still a smoother (the true-A residual + coarse correction drive
+# convergence — verified by the whole-solve A/B before enabling).
+BF16C = False
+BF16C_MIN_DIM = 512
+
+
+def bf16c_active(dim: int, dtype=None) -> bool:
+    """Build-time gate for attaching the bf16 smoother views: flag on,
+    size in the HBM-bound regime, f32 solve (bf16-vs-f64 mixing is a
+    verification-mode nonsense), and a tile whose sublane extent meets
+    the bf16 granularity (16)."""
+    if not BF16C or dim < BF16C_MIN_DIM:
+        return False
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+        return False
+    ts = tile_shape(dim, prediff_active(dim))
+    return ts is not None and ts[1] % 16 == 0
+
+
+def kernel_views_bf16(kbi, kbj, kbk, kbk_top, kdinv, kgd=None):
+    """bf16 copies of the GSRB coefficient operands, j-padded n+8 ->
+    n+16 so the (bj+16)-row windows (bf16 sublane granularity 16, vs 8
+    for f32) stay in bounds on the last tile; live-row lead offsets are
+    unchanged, so the in-kernel slices are identical to the f32 path.
+    kdinv keeps its (n, n, n) block layout. Ordered
+    (kbi, kbj, kbk, kbk_top, kdinv0, kdinv1[, kgd x8])."""
+    def rp(a):
+        return jnp.pad(a, ((0, 0), (0, 8), (0, 0))).astype(jnp.bfloat16)
+
+    out = [rp(kbi), rp(kbj), rp(kbk), rp(kbk_top),
+           kdinv[0].astype(jnp.bfloat16), kdinv[1].astype(jnp.bfloat16)]
+    if kgd is not None:
+        out += [rp(g) for g in kgd]
+    return tuple(out)
+
+
 def prediff_active(dim: int) -> bool:
     """Build/call-consistent gate for the prediff variant at this size."""
     return PREDIFF and dim <= PREDIFF_MAX_DIM
@@ -513,7 +556,8 @@ def _flux_ax_main_only(xj, xglo, xghi, ebi, ebj, ebk, ebk_top, b, J):
 # ---------------------------------------------------------------------------
 
 def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
-                kperiodic=False, a_alpha=0.0, prediff=False, slab=False):
+                kperiodic=False, a_alpha=0.0, prediff=False, slab=False,
+                cbf16=False):
     """Shared fv4 stencil body on a (bi, bj, n) tile.
 
     mode: 'apply' -> Ax; 'residual' -> rhs - Ax;
@@ -588,20 +632,24 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
 
     # face coefficients: i/j tangential ghosts are baked into the j-padded
     # storage at fixed in-window offsets (see kernel_beta_views); only the
-    # lane (k) ghosts of kbi/kbj are rebuilt here
-    ebi = bi_ref[:, 3:bj + 5, :]       # (bi+1, bj+2, n)
-    ebj = bj_ref[:, 4:bj + 5, :]       # (bi+2, bj+1, n)
-    ebk = bk_ref[:, 3:bj + 5, :]       # (bi+2, bj+2, n)
-    ebk_top = bktop_ref[:, 3:bj + 5, :]
+    # lane (k) ghosts of kbi/kbj are rebuilt here. Under BF16C (cbf16)
+    # the operands arrive as bf16 streams and are widened to the compute
+    # dtype right after the window slice (same lead offsets — the bf16
+    # views are just j-padded 8 rows further).
+    cvt = (lambda v: v.astype(xj.dtype)) if cbf16 else (lambda v: v)
+    ebi = cvt(bi_ref[:, 3:bj + 5, :])       # (bi+1, bj+2, n)
+    ebj = cvt(bj_ref[:, 4:bj + 5, :])       # (bi+2, bj+1, n)
+    ebk = cvt(bk_ref[:, 3:bj + 5, :])       # (bi+2, bj+2, n)
+    ebk_top = cvt(bktop_ref[:, 3:bj + 5, :])
     pd = None
     if prediff:
         # the tangential beta differences arrive precomputed (kgd); the
         # beta lane ghosts they were built from are baked in at MGBuild
         bi_glo = bi_ghi = bj_glo = bj_ghi = None
-        pd = (pd_refs[0][:, 4:bj + 4, :], pd_refs[1][:, 4:bj + 4, :],
-              pd_refs[2][:, 4:bj + 5, :], pd_refs[3][:, 4:bj + 5, :],
-              pd_refs[4][:, 4:bj + 4, :], pd_refs[5][:, 4:bj + 4, :],
-              pd_refs[6][:, 4:bj + 4, :], pd_refs[7][:, 4:bj + 4, :])
+        pd = (cvt(pd_refs[0][:, 4:bj + 4, :]), cvt(pd_refs[1][:, 4:bj + 4, :]),
+              cvt(pd_refs[2][:, 4:bj + 5, :]), cvt(pd_refs[3][:, 4:bj + 5, :]),
+              cvt(pd_refs[4][:, 4:bj + 4, :]), cvt(pd_refs[5][:, 4:bj + 4, :]),
+              cvt(pd_refs[6][:, 4:bj + 4, :]), cvt(pd_refs[7][:, 4:bj + 4, :]))
     elif kperiodic:
         bi_glo = ebi[..., n - 1:]
         bi_ghi = ebi[..., :1]
@@ -631,17 +679,19 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
     # GSRB_FP trick (gsrb.c:78-87) moved to MGBuild time, saving ~5 VPU
     # passes of in-kernel iota/mask work per half-sweep
     xc = xj[2:2 + bi, 2:2 + bj, :]
-    out_ref[...] = xc + dinv_ref[...] * (rhs_ref[...] - ax)
+    dinv = dinv_ref[...].astype(xj.dtype) if cbf16 else dinv_ref[...]
+    out_ref[...] = xc + dinv * (rhs_ref[...] - ax)
 
 
-def _prediff_specs(bi: int, bj: int, n: int, bmap):
+def _prediff_specs(bi: int, bj: int, n: int, bmap, jpad: int = 8):
     """BlockSpecs for the 8 kgd operands (kernel_beta_prediff order):
     i-face diffs ride the (bi+1)-row face window, j/k-face diffs the
-    bi-row cell window; all share the 8-aligned (bj+8) sublane window."""
+    bi-row cell window; all share the aligned (bj+jpad) sublane window
+    (jpad = 8 for the f32 views, 16 for the bf16 BF16C views)."""
     E = pl.Element
-    fspec = pl.BlockSpec((E(bi + 1), E(bj + 8), E(n)), bmap)
-    cspec = pl.BlockSpec((E(bi), E(bj + 8), E(n)), bmap)
-    tspec = pl.BlockSpec((E(bi), E(bj + 8), E(1)), bmap)
+    fspec = pl.BlockSpec((E(bi + 1), E(bj + jpad), E(n)), bmap)
+    cspec = pl.BlockSpec((E(bi), E(bj + jpad), E(n)), bmap)
+    tspec = pl.BlockSpec((E(bi), E(bj + jpad), E(1)), bmap)
     return [fspec, fspec, cspec, cspec, cspec, cspec, tspec, tspec]
 
 
@@ -653,9 +703,12 @@ def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
     # note: parity enters only through which kdinv field rides in `dinv` —
     # both half-sweeps share ONE compiled kernel
     a_alpha = cfg.a if cfg.helmholtz else 0.0
+    kb16 = getattr(level, "kb16", None)
+    use16 = mode == "gsrb" and kb16 is not None
     kernel = functools.partial(
         _fv4_kernel, n=n, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
-        b_h2inv=cfg.b * level.h2inv, a_alpha=a_alpha, prediff=prediff)
+        b_h2inv=cfg.b * level.h2inv, a_alpha=a_alpha, prediff=prediff,
+        cbf16=use16)
 
     E = pl.Element
 
@@ -672,18 +725,24 @@ def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
 
     # x needs the full +-2 halo inside an 8-aligned window (bj+16 rows);
     # the betas only need their +-1 tangential ghosts, which the n+8
-    # padded storage serves at fixed offsets from a (bj+8)-row window
+    # padded storage serves at fixed offsets from a (bj+8)-row window.
+    # BF16C smoother streams ride n+16-padded bf16 views through
+    # (bj+16)-row windows (bf16 sublane granularity 16), same offsets.
+    jp = 16 if use16 else 8
     in_specs = [
         pl.BlockSpec((E(bi + 4), E(bj + 16), E(n)), xmap),
-        pl.BlockSpec((E(bi + 1), E(bj + 8), E(n)), bmap),
-        pl.BlockSpec((E(bi + 2), E(bj + 8), E(n)), bmap),
-        pl.BlockSpec((E(bi + 2), E(bj + 8), E(n)), bmap),
-        pl.BlockSpec((E(bi + 2), E(bj + 8), E(1)), bmap),
+        pl.BlockSpec((E(bi + 1), E(bj + jp), E(n)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + jp), E(n)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + jp), E(n)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + jp), E(1)), bmap),
     ]
-    args = [x, level.kbi, level.kbj, level.kbk, level.kbk_top]
+    args = [x] + (list(kb16[0:4]) if use16
+                  else [level.kbi, level.kbj, level.kbk, level.kbk_top])
     if prediff:
-        in_specs += _prediff_specs(bi, bj, n, bmap)
-        args += list(level.kgd)
+        if use16:
+            assert len(kb16) >= 14, "kb16 built without the kgd entries"
+        in_specs += _prediff_specs(bi, bj, n, bmap, jp)
+        args += list(kb16[6:14]) if use16 else list(level.kgd)
     tile_spec = pl.BlockSpec((bi, bj, n), lambda ti, tj: (ti, tj, 0))
     if a_alpha:
         in_specs.append(tile_spec)
@@ -967,7 +1026,12 @@ def fv4_residual_pallas(level: Level, x, rhs, cfg: SolverConfig):
 
 def fv4_gsrb_sweep_pallas(level: Level, x, rhs, cfg: SolverConfig,
                           parity: int):
-    """One GSRB half-sweep, boundary fill fused into the stencil kernel."""
+    """One GSRB half-sweep, boundary fill fused into the stencil kernel.
+    With the BF16C smoother views attached (Level.kb16, masked Dirichlet
+    mode only) the parity-folded dinv rides as the bf16 copy."""
+    kb16 = getattr(level, "kb16", None)
+    if kb16 is not None and not (cfg.bc == BC.PERIODIC or SINGLE_EXT):
+        return _fv4_call(level, x, rhs, kb16[4 + (parity & 1)], cfg, "gsrb")
     return _single_call(level, x, rhs, level.kdinv[parity & 1], cfg, "gsrb")
 
 

@@ -224,4 +224,13 @@ class FV4(base.OperatorSuite):
             kdinv = tuple(rb_mask(lv.dim, p, lv.dinv.dtype) * lv.dinv
                           for p in (0, 1))
             lv = dataclasses.replace(lv, kdinv=kdinv)
+            from hpgmg_tpu.kernels import stencils
+
+            # smoother-only bf16 coefficient copies (BF16C; masked
+            # Dirichlet single-chip mode — the ext/periodic/sharded
+            # paths keep f32 operands)
+            if (cfg.bc == BC.DIRICHLET
+                    and stencils.bf16c_active(lv.dim, lv.dinv.dtype)):
+                lv = dataclasses.replace(lv, kb16=stencils.kernel_views_bf16(
+                    lv.kbi, lv.kbj, lv.kbk, lv.kbk_top, kdinv, lv.kgd))
         return lv

@@ -181,7 +181,8 @@ def shard_hierarchy(mesh: Mesh, hier, cfg=None):
     for lv in hier.levels:
         spec = level_sharding(mesh, lv.dim)
         replicated = spec.spec == P()
-        kw = {}
+        # the BF16C smoother views are single-chip masked-mode only
+        kw = {"kb16": None} if getattr(lv, "kb16", None) is not None else {}
         kviews = None
         if (cfg is not None and lv.kbi is not None and not replicated
                 and lv.kernel_suite is None
@@ -190,7 +191,8 @@ def shard_hierarchy(mesh: Mesh, hier, cfg=None):
             kbi, kbj, kbk, kbk_top, kdinv = build_sharded_views(mesh, lv)
             kviews = dict(kbi=kbi, kbj=kbj, kbk=kbk, kbk_top=kbk_top,
                           kdinv=kdinv, ksharded=True,
-                          kgd=None)  # global-layout kgd unusable per-shard
+                          # global-layout kgd/kb16 unusable per-shard
+                          kgd=None, kb16=None)
         elif (cfg is not None and lv.kernel_suite is not None
                 and not replicated and lv.dinv is not None
                 and sharded_r1_eligible(mesh, lv.dim, cfg,

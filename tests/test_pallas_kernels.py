@@ -237,3 +237,36 @@ def test_prediff_matches_xla(periodic):
     out_g = K.fv4_gsrb_sweep_pallas(lv, x, prob.f, cfg, 1)
     np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_bf16c_gsrb_close_to_f32():
+    """BF16C smoother views (negative perf result — docs/BF16C.md — the
+    flag stays default-OFF; this keeps the A/B path working): the
+    bf16-coefficient GSRB half-sweep matches the f32 kernel to bf16
+    rounding, and the bf16 (bj+16)-row windows stay legal."""
+    K.INTERPRET = True
+    cfg = SolverConfig(op="fv4", a=0.0, dtype=jnp.float32,
+                       kernels="pallas")
+    prob = init_problem_fv(64, dtype=jnp.float32)
+    old, old_dim = K.BF16C, K.BF16C_MIN_DIM
+    K.BF16C, K.BF16C_MIN_DIM = True, 64
+    try:
+        hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg)
+    finally:
+        K.BF16C, K.BF16C_MIN_DIM = old, old_dim
+    lv = hier.levels[0]
+    assert lv.kb16 is not None and lv.kb16[0].dtype == jnp.bfloat16
+    x = jnp.asarray(np.random.default_rng(5)
+                    .standard_normal((64, 64, 64)).astype(np.float32))
+    # f32 reference through the same kernel (kb16 detached)
+    import dataclasses as dc
+
+    lv32 = dc.replace(lv, kb16=None)
+    ref = K.fv4_gsrb_sweep_pallas(lv32, x, prob.f, cfg, 0)
+    out = K.fv4_gsrb_sweep_pallas(lv, x, prob.f, cfg, 0)
+    assert out.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(ref)))
+    err = float(jnp.max(jnp.abs(out - ref))) / scale
+    assert err < 5e-3, err  # bf16 coefficient rounding, not a bug
+    # and the f32 path is genuinely different data (sanity of the A/B)
+    assert err > 0.0
