@@ -75,7 +75,13 @@ _AUTO_MIN_DIM = 64
 # 256^3 (1647 us) — bigger estimates compile but run slower (less
 # double-buffering headroom).
 _VMEM_BUDGET = 28 * 2 ** 20
-_VMEM_LIMIT = 64 * 2 ** 20
+# At 512^3 the wider (8,128) tile wins 5% over (8,64) (9.9 vs 10.5 ms
+# measured half-sweep) but its estimate is ~56 MB — a separate budget
+# so the tuned small-size picks ((32,64)@128, (16,64)@256) are
+# untouched. (16,128)/(32,64) at 512 (~105 MB est) crash the Mosaic
+# compile helper; the 60 MB budget excludes them.
+_VMEM_BUDGET_512 = 60 * 2 ** 20
+_VMEM_LIMIT = 100 * 2 ** 20
 
 
 def _vmem_bytes(n: int, bi: int, bj: int, prediff: bool = False) -> int:
@@ -91,8 +97,10 @@ def _vmem_bytes(n: int, bi: int, bj: int, prediff: bool = False) -> int:
     return 4 * (2 * win + tmp)
 
 
-def _budget(prediff: bool) -> int:
-    return _VMEM_BUDGET_PREDIFF if prediff else _VMEM_BUDGET
+def _budget(prediff: bool, n: int = 0) -> int:
+    if prediff:
+        return _VMEM_BUDGET_PREDIFF
+    return _VMEM_BUDGET_512 if n >= 512 else _VMEM_BUDGET
 
 
 def tile_shape(n: int, prediff=None):
@@ -103,16 +111,17 @@ def tile_shape(n: int, prediff=None):
     if prediff is None:
         prediff = prediff_active(n)
     best = None
-    for bj in (64, 48, 32, 24, 16, 8):
+    for bj in (128, 64, 48, 32, 24, 16, 8):
         if n % bj or n // bj < 2 or n < bj + 16:
             continue
         for bi in (64, 32, 16, 8, 4):
             if n % bi or n // bi < 2:
                 continue
-            if _vmem_bytes(n, bi, bj, prediff) > _budget(prediff):
+            if _vmem_bytes(n, bi, bj, prediff) > _budget(prediff, n):
                 continue
             # larger bj (sublane extent) wins ties: measured faster at
-            # equal area (1647 vs 2015 us for (16,64) vs (32,32) at 256)
+            # equal area (1647 vs 2015 us for (16,64) vs (32,32) at 256;
+            # (8,128) vs (16,64) at 512)
             key = (bi * bj, bj)
             if best is None or key > best[0]:
                 best = (key, (bi, bj))
