@@ -209,6 +209,12 @@ def main(argv=None):
     p.add_argument("--budget-mb", type=float, default=None,
                    help="override the tile-selection VMEM budget "
                         "(kernels/stencils.py _VMEM_BUDGET)")
+    p.add_argument("--prediff-budget-mb", type=float, default=None,
+                   help="override the PREDIFF tile-selection VMEM "
+                        "budget (_VMEM_BUDGET_PREDIFF) — e.g. 92 lets "
+                        "the prediff variant pick the wide (8,128) "
+                        "tile at 512^3 (est ~90 MB, under the 100 MB "
+                        "Mosaic limit) instead of (8,64)")
     p.add_argument("--roll-prim", action="store_true",
                    help="also time the pltpu.roll lane-shift variant")
     p.add_argument("--slab", action="store_true",
@@ -228,6 +234,10 @@ def main(argv=None):
         import hpgmg_tpu.kernels.stencils as K
 
         K._VMEM_BUDGET = int(args.budget_mb * 2 ** 20)
+    if args.prediff_budget_mb is not None:
+        import hpgmg_tpu.kernels.stencils as K
+
+        K._VMEM_BUDGET_PREDIFF = int(args.prediff_budget_mb * 2 ** 20)
     print(f"backend={jax.default_backend()} op={args.op}")
     if args.op != "fv4":
         # radius-1 family: Pallas masked kernel vs the XLA path
