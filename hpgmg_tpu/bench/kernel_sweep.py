@@ -208,7 +208,13 @@ def main(argv=None):
                         "PREDIFF)")
     p.add_argument("--budget-mb", type=float, default=None,
                    help="override the tile-selection VMEM budget "
-                        "(kernels/stencils.py _VMEM_BUDGET)")
+                        "(kernels/stencils.py _VMEM_BUDGET and, at "
+                        "n>=512, _VMEM_BUDGET_512)")
+    p.add_argument("--vmem-limit-mb", type=float, default=None,
+                   help="override the Mosaic scoped-vmem limit passed "
+                        "via CompilerParams (_VMEM_LIMIT, default 100). "
+                        "v5e tops out at 128; (16,128)@512 needs 124.2 "
+                        "and hangs the compile helper — see CLAUDE.md")
     p.add_argument("--prediff-budget-mb", type=float, default=None,
                    help="override the PREDIFF tile-selection VMEM "
                         "budget (_VMEM_BUDGET_PREDIFF) — e.g. 92 lets "
@@ -234,10 +240,15 @@ def main(argv=None):
         import hpgmg_tpu.kernels.stencils as K
 
         K._VMEM_BUDGET = int(args.budget_mb * 2 ** 20)
+        K._VMEM_BUDGET_512 = int(args.budget_mb * 2 ** 20)
     if args.prediff_budget_mb is not None:
         import hpgmg_tpu.kernels.stencils as K
 
         K._VMEM_BUDGET_PREDIFF = int(args.prediff_budget_mb * 2 ** 20)
+    if args.vmem_limit_mb is not None:
+        import hpgmg_tpu.kernels.stencils as K
+
+        K._VMEM_LIMIT = int(args.vmem_limit_mb * 2 ** 20)
     print(f"backend={jax.default_backend()} op={args.op}")
     if args.op != "fv4":
         # radius-1 family: Pallas masked kernel vs the XLA path
