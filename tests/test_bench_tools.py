@@ -77,3 +77,26 @@ def test_cli_test_error_mode(capsys):
           "p4", "--dtype", "float64", "--dynamic-range", "2"])
     out = capsys.readouterr().out
     assert "error_max=" in out and "observed order" in out
+
+
+def test_kernel_sweep_vmem_flags(monkeypatch):
+    """--budget-mb must cover BOTH tile-selection budgets (the 512-size
+    one silently kept its default before) and --vmem-limit-mb must reach
+    the Mosaic CompilerParams limit; with budget 110 the 512 tile pick
+    becomes (16,128)."""
+    from hpgmg_tpu.bench import kernel_sweep as S
+
+    calls = []
+    monkeypatch.setattr(
+        S, "time_sweeps", lambda n, **kw: calls.append(n) or 1e-3)
+    monkeypatch.setattr(stencils, "_VMEM_BUDGET", stencils._VMEM_BUDGET)
+    monkeypatch.setattr(stencils, "_VMEM_BUDGET_512",
+                        stencils._VMEM_BUDGET_512)
+    monkeypatch.setattr(stencils, "_VMEM_LIMIT", stencils._VMEM_LIMIT)
+    S.main(["--sizes", "512", "--reps", "1",
+            "--budget-mb", "110", "--vmem-limit-mb", "127"])
+    assert stencils._VMEM_BUDGET == int(110 * 2 ** 20)
+    assert stencils._VMEM_BUDGET_512 == int(110 * 2 ** 20)
+    assert stencils._VMEM_LIMIT == int(127 * 2 ** 20)
+    assert stencils.tile_shape(512, prediff=False) == (16, 128)
+    assert calls == [512, 512]  # masked + ext, no hardware touched
