@@ -208,8 +208,12 @@ def main(argv=None):
                         "PREDIFF)")
     p.add_argument("--budget-mb", type=float, default=None,
                    help="override the tile-selection VMEM budget "
-                        "(kernels/stencils.py _VMEM_BUDGET and, at "
-                        "n>=512, _VMEM_BUDGET_512)")
+                        "(kernels/stencils.py _VMEM_BUDGET; also "
+                        "_VMEM_BUDGET_512 when 512 is in --sizes)")
+    p.add_argument("--budget-512-mb", type=float, default=None,
+                   help="independently override the n>=512 "
+                        "tile-selection budget (_VMEM_BUDGET_512, "
+                        "default 60 MB) for mixed-size sweeps")
     p.add_argument("--vmem-limit-mb", type=float, default=None,
                    help="override the Mosaic scoped-vmem limit passed "
                         "via CompilerParams (_VMEM_LIMIT, default 100). "
@@ -240,7 +244,15 @@ def main(argv=None):
         import hpgmg_tpu.kernels.stencils as K
 
         K._VMEM_BUDGET = int(args.budget_mb * 2 ** 20)
-        K._VMEM_BUDGET_512 = int(args.budget_mb * 2 ** 20)
+        # Only drag the (separately tuned, 60 MB) 512 budget along when the
+        # sweep actually includes 512 — a mixed --sizes 128 512 sweep keeps
+        # the 512 tuning unless --budget-512-mb overrides it explicitly.
+        if any(s >= 512 for s in args.sizes) and args.budget_512_mb is None:
+            K._VMEM_BUDGET_512 = int(args.budget_mb * 2 ** 20)
+    if args.budget_512_mb is not None:
+        import hpgmg_tpu.kernels.stencils as K
+
+        K._VMEM_BUDGET_512 = int(args.budget_512_mb * 2 ** 20)
     if args.prediff_budget_mb is not None:
         import hpgmg_tpu.kernels.stencils as K
 

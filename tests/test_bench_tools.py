@@ -100,3 +100,23 @@ def test_kernel_sweep_vmem_flags(monkeypatch):
     assert stencils._VMEM_LIMIT == int(127 * 2 ** 20)
     assert stencils.tile_shape(512, prediff=False) == (16, 128)
     assert calls == [512, 512]  # masked + ext, no hardware touched
+
+
+def test_kernel_sweep_budget_512_independent(monkeypatch):
+    """A mixed-size sweep must NOT drag the tuned 60 MB 512 budget down
+    to --budget-mb (ADVICE r3); --budget-512-mb overrides it explicitly."""
+    from hpgmg_tpu.bench import kernel_sweep as S
+
+    monkeypatch.setattr(
+        S, "time_sweeps", lambda n, **kw: 1e-3)
+    monkeypatch.setattr(stencils, "_VMEM_BUDGET", stencils._VMEM_BUDGET)
+    monkeypatch.setattr(stencils, "_VMEM_BUDGET_512",
+                        stencils._VMEM_BUDGET_512)
+    before_512 = stencils._VMEM_BUDGET_512
+    S.main(["--sizes", "128", "--reps", "1", "--budget-mb", "28"])
+    assert stencils._VMEM_BUDGET == int(28 * 2 ** 20)
+    assert stencils._VMEM_BUDGET_512 == before_512  # untouched: no 512 size
+    S.main(["--sizes", "128", "512", "--reps", "1",
+            "--budget-mb", "28", "--budget-512-mb", "55"])
+    assert stencils._VMEM_BUDGET == int(28 * 2 ** 20)
+    assert stencils._VMEM_BUDGET_512 == int(55 * 2 ** 20)
