@@ -59,12 +59,12 @@ def run_ab(n: int, dtype=jnp.float32, periodic: bool = False,
     # variant measures the half-sweep path even now that GSRB2 defaults
     # on (the "pallas-gsrb2" variant rebuilds with it forced on)
     import hpgmg_tpu.kernels.stencils_r1 as _K1
-    _g_old = _K1.GSRB2
-    _K1.GSRB2 = False
+    _g_old, _g4_old = _K1.GSRB2, K.GSRB2_FV4
+    _K1.GSRB2 = K.GSRB2_FV4 = False
     try:
         hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg_p)
     finally:
-        _K1.GSRB2 = _g_old
+        _K1.GSRB2, K.GSRB2_FV4 = _g_old, _g4_old
     f = prob.f
     x0 = f / (1.0 + float(jnp.max(jnp.abs(f))))
     lv0 = hier.levels[0]
@@ -84,17 +84,20 @@ def run_ab(n: int, dtype=jnp.float32, periodic: bool = False,
     elif periodic:
         paths = [("pallas", False)]
     else:
-        paths = [("pallas", False), ("pallas-ext", True)]
+        paths = [("pallas", False), ("pallas-ext", True),
+                 ("pallas-gsrb2", "gsrb2")]
     for name, ext in paths:
         import hpgmg_tpu.kernels.stencils_r1 as K1
 
         old = K.SINGLE_EXT
         old2 = K1.GSRB2
         old3 = K1.GSRB2_VAR7_ONLY
+        old4 = K.GSRB2_FV4
         hier_p = hier
         if ext == "gsrb2":
             K1.GSRB2 = True
             K1.GSRB2_VAR7_ONLY = False
+            K.GSRB2_FV4 = opname == "fv4"
             hier_p = build_hierarchy(prob.beta_i, prob.beta_j,
                                      prob.beta_k, cfg_p)
             assert hier_p.levels[0].k2 is not None
@@ -129,6 +132,7 @@ def run_ab(n: int, dtype=jnp.float32, periodic: bool = False,
             K.SINGLE_EXT = old
             K1.GSRB2 = old2
             K1.GSRB2_VAR7_ONLY = old3
+            K.GSRB2_FV4 = old4
     return out
 
 

@@ -49,8 +49,10 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
     old_maxdim = K.PREDIFF_MAX_DIM
     old_gsrb2 = K1.GSRB2
     old_var7only = K1.GSRB2_VAR7_ONLY
+    old_gsrb2_fv4 = K.GSRB2_FV4
     K.PREDIFF = prediff  # before build: rebuild_operator attaches kgd
     K1.GSRB2 = gsrb2  # before build: rebuild_operator attaches k2
+    K.GSRB2_FV4 = gsrb2 and opname == "fv4"  # fv4 double-sweep A/B
     K1.GSRB2_VAR7_ONLY = False  # the A/B measures 27pt too when forced
     old_bf16c = K.BF16C
     old_bf16c_dim = K.BF16C_MIN_DIM
@@ -119,7 +121,7 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
                     return K.fv4_call_slab(
                         x, ilo, ihi, jlo, jhi, lv.kbi, lv.kbj, lv.kbk,
                         lv.kbk_top, rhs + 0.0 * x[0, 0, 0], lv.kdinv[0],
-                        "gsrb", cfg.b * lv.h2inv)
+                        "gsrb", cfg.b * lv.h2inv, ipad=2)
 
                 return jax.lax.fori_loop(0, reps * nhalf, body, x)
         else:
@@ -144,6 +146,7 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
         K.PREDIFF_MAX_DIM = old_maxdim
         K1.GSRB2 = old_gsrb2
         K1.GSRB2_VAR7_ONLY = old_var7only
+        K.GSRB2_FV4 = old_gsrb2_fv4
         K.BF16C = old_bf16c
         K.BF16C_MIN_DIM = old_bf16c_dim
     return dt / (reps * nhalf)
@@ -323,6 +326,20 @@ def main(argv=None):
             t_s = time_sweeps(n, ext=False, reps=args.reps, slab=True)
             line += (f" | slab {t_s * 1e6:8.1f} us "
                      f"(slab/masked {t_s / t_mask:5.2f})")
+        if args.gsrb2:
+            t_2 = time_sweeps(n, ext=False, reps=args.reps, gsrb2=True)
+            line += (f" | gsrb2 {t_2 * 1e6:8.1f} us "
+                     f"(gsrb2/masked {t_2 / t_mask:5.2f})")
+            if args.prediff:
+                # the honest <= 256 comparison: prediff half-sweeps are
+                # the best-known config there, and gsrb2 can consume the
+                # prediff operands itself (gsrb2+prediff)
+                t_d = time_sweeps(n, ext=False, reps=args.reps,
+                                  prediff=True)
+                t_2d = time_sweeps(n, ext=False, reps=args.reps,
+                                   gsrb2=True, prediff=True)
+                line += (f" | gsrb2+prediff {t_2d * 1e6:8.1f} us "
+                         f"(vs prediff {t_2d / t_d:5.2f})")
         print(line)
     return 0
 

@@ -148,5 +148,11 @@ def slim_hierarchy(hier: Hierarchy, cfg: SolverConfig) -> Hierarchy:
                     # mode (stencils.SINGLE_EXT False) the views are
                     # gated to.
                     kw["kdinv"] = None
+                elif (getattr(lv, "k2", None) is not None
+                      and lv.kernel_suite is None):
+                    # fv4 GSRB2: the double sweep reads the padded ring
+                    # copy (k2[0]) for red and kdinv[1] for black — the
+                    # unpadded kdinv[0] is dead (512 MB at 512^3)
+                    kw["kdinv"] = (None, lv.kdinv[1])
         new_levels.append(dataclasses.replace(lv, **kw))
     return Hierarchy(levels=new_levels)

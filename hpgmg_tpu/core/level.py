@@ -73,11 +73,14 @@ class Level:
     # (dij, dik, dji, djk, dki, dkj, dki_top, dkj_top).
     kgd: Optional[tuple] = None
     # pre-padded operand views for the fused red+black double-sweep
-    # radius-1 kernel (kernels/stencils_r1.py GSRB2): one exact halo ring
-    # baked in at build time so every tile's window is offset-exact (no
-    # alignment blends). Ordered (k2d0, k2alpha, k2bi, k2bj, k2bk,
-    # k2bk_top); the beta entries are None for the 27pt suite and
-    # k2alpha is None unless Helmholtz.
+    # kernels: one exact halo ring baked in at build time so every
+    # tile's window is offset-exact (no alignment blends). Ordered
+    # (k2d0, k2alpha, k2bi, k2bj, k2bk, k2bk_top). Radius-1 suites
+    # (kernels/stencils_r1.py GSRB2, kernel_suite set): +1 ring, beta
+    # entries None for 27pt. fv4 (kernels/stencils.py GSRB2_FV4,
+    # kernel_suite None): +2 ring for kdinv0/alpha only — the beta
+    # rings ride the i-padded kbi/kbj/kbk views, so the last four
+    # entries are None. k2alpha is None unless Helmholtz.
     k2: Optional[tuple] = None
     # SMOOTHER-ONLY bf16 copies of the fv4 GSRB coefficient operands
     # (kernels/stencils.py BF16C): the kernel is HBM-bound at 512^3 and

@@ -160,7 +160,9 @@ def use_pallas(cfg: SolverConfig, level: Level, x=None) -> bool:
             and level.dim < _AUTO_MIN_DIM):
         return False
     if INTERPRET:
-        return True
+        return True  # the interpreter handles 64-bit (CPU parity tests)
+    if jnp.dtype(level.dtype).itemsize > 4:
+        return False  # Mosaic has no 64-bit types (f64 verification runs)
     try:
         return jax.default_backend() == "tpu"
     except Exception:
@@ -692,15 +694,19 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
     out_ref[...] = xc + dinv * (rhs_ref[...] - ax)
 
 
-def _prediff_specs(bi: int, bj: int, n: int, bmap, jpad: int = 8):
+def _prediff_specs(bi: int, bj: int, n: int, bmap, jpad: int = 8,
+                   ring: int = 0):
     """BlockSpecs for the 8 kgd operands (kernel_beta_prediff order):
     i-face diffs ride the (bi+1)-row face window, j/k-face diffs the
     bi-row cell window; all share the aligned (bj+jpad) sublane window
-    (jpad = 8 for the f32 views, 16 for the bf16 BF16C views)."""
+    (jpad = 8 for the f32 views, 16 for the bf16 BF16C views).
+    ``ring=4`` selects the GSRB2_FV4 +2-ring windows (the i ring rides
+    the +2 i-pad of the views; the caller's bmap must then NOT add the
+    +2 live offset)."""
     E = pl.Element
-    fspec = pl.BlockSpec((E(bi + 1), E(bj + jpad), E(n)), bmap)
-    cspec = pl.BlockSpec((E(bi), E(bj + jpad), E(n)), bmap)
-    tspec = pl.BlockSpec((E(bi), E(bj + jpad), E(1)), bmap)
+    fspec = pl.BlockSpec((E(bi + 1 + ring), E(bj + jpad), E(n)), bmap)
+    cspec = pl.BlockSpec((E(bi + ring), E(bj + jpad), E(n)), bmap)
+    tspec = pl.BlockSpec((E(bi + ring), E(bj + jpad), E(1)), bmap)
     return [fspec, fspec, cspec, cspec, cspec, cspec, tspec, tspec]
 
 
@@ -732,6 +738,12 @@ def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
     def bmap(ti, tj):
         return (ti * bi, tj * bj, 0)
 
+    def bmap2(ti, tj):
+        # the beta views are i-padded by 2 (kernel_beta_views) so the
+        # GSRB2 ring windows are offset-exact; the half-sweep windows
+        # read the live rows at +2
+        return (ti * bi + 2, tj * bj, 0)
+
     # x needs the full +-2 halo inside an 8-aligned window (bj+16 rows);
     # the betas only need their +-1 tangential ghosts, which the n+8
     # padded storage serves at fixed offsets from a (bj+8)-row window.
@@ -740,17 +752,17 @@ def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
     jp = 16 if use16 else 8
     in_specs = [
         pl.BlockSpec((E(bi + 4), E(bj + 16), E(n)), xmap),
-        pl.BlockSpec((E(bi + 1), E(bj + jp), E(n)), bmap),
-        pl.BlockSpec((E(bi + 2), E(bj + jp), E(n)), bmap),
-        pl.BlockSpec((E(bi + 2), E(bj + jp), E(n)), bmap),
-        pl.BlockSpec((E(bi + 2), E(bj + jp), E(1)), bmap),
+        pl.BlockSpec((E(bi + 1), E(bj + jp), E(n)), bmap2),
+        pl.BlockSpec((E(bi + 2), E(bj + jp), E(n)), bmap2),
+        pl.BlockSpec((E(bi + 2), E(bj + jp), E(n)), bmap2),
+        pl.BlockSpec((E(bi + 2), E(bj + jp), E(1)), bmap2),
     ]
     args = [x] + (list(kb16[0:4]) if use16
                   else [level.kbi, level.kbj, level.kbk, level.kbk_top])
     if prediff:
         if use16:
             assert len(kb16) >= 14, "kb16 built without the kgd entries"
-        in_specs += _prediff_specs(bi, bj, n, bmap, jp)
+        in_specs += _prediff_specs(bi, bj, n, bmap2, jp)
         args += list(kb16[6:14]) if use16 else list(level.kgd)
     tile_spec = pl.BlockSpec((bi, bj, n), lambda ti, tj: (ti, tj, 0))
     if a_alpha:
@@ -797,15 +809,17 @@ def tile_shape_local(ni: int, nj: int, nk: int, prediff: bool = False):
 
 def fv4_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
                  b_h2inv: float, kperiodic: bool = False,
-                 a_alpha: float = 0.0, alpha=None, kgd=None):
+                 a_alpha: float = 0.0, alpha=None, kgd=None,
+                 ipad: int = 0):
     """Pallas call on ONE shard's pre-extended block (the shard_map body of
     the distributed fast path, parallel/shard_kernels.py).
 
     x_ext: (ni+4, nj+16, nk) — i-extended by 2, j-extended rows stored at
     [6, nj+10) of the padded j axis (ghosts = neighbor halos or BC fills);
     kbi (ni+1, nj+8, nk) / kbj (ni+2, nj+8, nk) / kbk + kbk_top: per-shard
-    kernel-layout coefficient views (same layout as kernel_beta_views);
-    rhs/dinv: (ni, nj, nk) or None per mode.
+    kernel-layout coefficient views (build_sharded_views layout; the
+    single-chip caller passes the i-padded kernel_beta_views with
+    ``ipad=2``); rhs/dinv: (ni, nj, nk) or None per mode.
     """
     ni, nj, nk = x_ext.shape[0] - 4, x_ext.shape[1] - 16, x_ext.shape[2]
     ts = tile_shape_local(ni, nj, nk, kgd is not None)
@@ -822,16 +836,21 @@ def fv4_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
     def xmap(ti, tj):
         return (ti * bi, tj * bj, 0)
 
+    def bmap(ti, tj):
+        return (ti * bi + ipad, tj * bj, 0)
+
     in_specs = [
         pl.BlockSpec((E(bi + 4), E(bj + 16), E(nk)), xmap),
-        pl.BlockSpec((E(bi + 1), E(bj + 8), E(nk)), xmap),
-        pl.BlockSpec((E(bi + 2), E(bj + 8), E(nk)), xmap),
-        pl.BlockSpec((E(bi + 2), E(bj + 8), E(nk)), xmap),
-        pl.BlockSpec((E(bi + 2), E(bj + 8), E(1)), xmap),
+        pl.BlockSpec((E(bi + 1), E(bj + 8), E(nk)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(nk)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(nk)), bmap),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(1)), bmap),
     ]
     args = [x_ext, kbi, kbj, kbk, kbk_top]
     if kgd is not None:
-        in_specs += _prediff_specs(bi, bj, nk, xmap)
+        # single-chip callers pass the i-padded global kgd (ipad=2);
+        # sharded callers pass unpadded per-shard cuts (ipad=0)
+        in_specs += _prediff_specs(bi, bj, nk, bmap)
         args += list(kgd)
     tile_spec = pl.BlockSpec((bi, bj, nk), lambda ti, tj: (ti, tj, 0))
     if a_alpha:
@@ -856,7 +875,7 @@ def fv4_call_ext(x_ext, kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
     )(*args)
 
 
-def tile_shape_slab(ni: int, nj: int, nk: int):
+def tile_shape_slab(ni: int, nj: int, nk: int, prediff: bool = False):
     """(bi, bj) for the slab-operand kernel on a local (ni, nj, nk) block:
     the masked-style clamped windows need >= 2 tiles per axis (distinct
     first/last blend cases) and nj >= bj+16 / ni >= bi+4 so the clamped
@@ -868,7 +887,7 @@ def tile_shape_slab(ni: int, nj: int, nk: int):
         for bi in (64, 32, 16, 8, 4):
             if ni % bi or ni // bi < 2 or ni < bi + 4:
                 continue
-            if _vmem_bytes(nk, bi, bj) > _VMEM_BUDGET:
+            if _vmem_bytes(nk, bi, bj, prediff) > _budget(prediff):
                 continue
             key = (bi * bj, bj)
             if best is None or key > best[0]:
@@ -879,7 +898,8 @@ def tile_shape_slab(ni: int, nj: int, nk: int):
 def fv4_call_slab(x, islab_lo, islab_hi, jslab_lo, jslab_hi,
                   kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
                   b_h2inv: float, kperiodic: bool = False,
-                  a_alpha: float = 0.0, alpha=None):
+                  a_alpha: float = 0.0, alpha=None, kgd=None,
+                  ipad: int = 0):
     """Pallas call on ONE shard's UNEXTENDED block with the 2-deep edge
     ghosts as 4 thin slab operands (the distributed slab fast path,
     parallel/shard_kernels.py). Runs the masked-kernel window structure —
@@ -890,16 +910,19 @@ def fv4_call_slab(x, islab_lo, islab_hi, jslab_lo, jslab_hi,
     far]; jslab_lo/hi: (ni+4, 8, nk) with the 2 live rows leading (the
     i-extended j-face strips, so corner ghosts arrive transitively);
     kbi/kbj/kbk/kbk_top: per-shard kernel-layout views (same layout as
-    the ext path / build_sharded_views); rhs/dinv: (ni, nj, nk) or None.
+    the ext path / build_sharded_views; single-chip callers pass the
+    i-padded global kernel_beta_views with ``ipad=2``); rhs/dinv:
+    (ni, nj, nk) or None.
     """
     ni, nj, nk = x.shape
-    ts = tile_shape_slab(ni, nj, nk)
+    ts = tile_shape_slab(ni, nj, nk, kgd is not None)
     assert ts is not None, (ni, nj, nk)
     bi, bj = ts
     nti, ntj = ni // bi, nj // bj
     kernel = functools.partial(
         _fv4_kernel, n=nk, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
-        b_h2inv=b_h2inv, kperiodic=kperiodic, a_alpha=a_alpha, slab=True)
+        b_h2inv=b_h2inv, kperiodic=kperiodic, a_alpha=a_alpha, slab=True,
+        prediff=kgd is not None)
 
     E = pl.Element
 
@@ -917,7 +940,7 @@ def fv4_call_slab(x, islab_lo, islab_hi, jslab_lo, jslab_hi,
         return (ti * bi, 0, 0)
 
     def bmap(ti, tj):
-        return (ti * bi, tj * bj, 0)
+        return (ti * bi + ipad, tj * bj, 0)
 
     in_specs = [
         pl.BlockSpec((E(bi + 4), E(bj + 16), E(nk)), xmap),
@@ -932,6 +955,9 @@ def fv4_call_slab(x, islab_lo, islab_hi, jslab_lo, jslab_hi,
     ]
     args = [x, islab_lo, islab_hi, jslab_lo, jslab_hi,
             kbi, kbj, kbk, kbk_top]
+    if kgd is not None:
+        in_specs += _prediff_specs(bi, bj, nk, bmap)
+        args += list(kgd)
     tile_spec = pl.BlockSpec((bi, bj, nk), lambda ti, tj: (ti, tj, 0))
     if a_alpha:
         in_specs.append(tile_spec)
@@ -1011,7 +1037,8 @@ def _fv4_call_single_ext(level: Level, x, rhs, dinv, cfg: SolverConfig,
                         rhs, dinv, mode, cfg.b * level.h2inv,
                         kperiodic=cfg.bc == BC.PERIODIC,
                         a_alpha=cfg.a if cfg.helmholtz else 0.0,
-                        alpha=level.alpha, kgd=getattr(level, "kgd", None))
+                        alpha=level.alpha, kgd=getattr(level, "kgd", None),
+                        ipad=2)
 
 
 # Dirichlet single-chip A/B switch: masked in-kernel ghost synthesis
@@ -1052,27 +1079,340 @@ def kernel_beta_views(beta_i_ext, beta_j_ext, beta_k_ext):
     """Slice the tangentially-extended face coefficients into the
     lane-aligned, j-padded kernel layout (trailing dim exactly n; j dim
     padded to n+8 so a (bj+8)-row window at offset tj*bj covers the tile's
-    tangential ghost rows at a fixed in-window offset):
+    tangential ghost rows at a fixed in-window offset). The i (leading)
+    axis is additionally zero-padded by 2 rows each side (~4 MB at 512^3)
+    so the SAME views serve both the half-sweep kernel (windows at
+    ``ti*bi + 2``) and the fused double-sweep kernel (GSRB2_FV4: ring
+    windows at ``ti*bi`` — i is the unconstrained leading axis, so both
+    offsets are Element-exact with no alignment blends):
 
-    kbi (n+1, n+8, n): i-faces; live j-rows (ghost -1 .. n) at pad offset
-        +3 (window rows [3, bj+5)); k-ghosts dropped (rebuilt in-kernel)
-    kbj (n+2, n+8, n): j-faces (0..n) at pad offset +4 (rows [4, bj+5))
-    kbk (n+2, n+8, n) + kbk_top (n+2, n+8, 1): k-faces — the face axis in
+    kbi (n+5, n+8, n): i-faces 0..n at i-pad offset +2; live j-rows
+        (ghost -1 .. n) at pad offset +3 (half-sweep window rows
+        [3, bj+5)); k-ghosts dropped (rebuilt in-kernel)
+    kbj (n+6, n+8, n): i-cells -1..n at i-pad +2; j-faces (0..n) at pad
+        offset +4 (rows [4, bj+5))
+    kbk (n+6, n+8, n) + kbk_top (n+6, n+8, 1): k-faces — the face axis in
         lanes would pad n+1 -> 2x, so store the low faces plus the single
         top plane; the high face of cell k is the low face of cell k+1
         (one in-kernel lane shift)
+
+    The zero i-pad rows are only read by the double sweep's ring flux
+    computations at out-of-domain positions, whose results are discarded
+    (overwritten by the mid-sweep ghost re-synthesis).
     """
     n = beta_i_ext.shape[1] - 2  # domain cells per axis
 
     def padj(a, lead):
         pad_hi = (n + 8) - lead - a.shape[1]
-        return jnp.pad(a, ((0, 0), (lead, pad_hi), (0, 0)))
+        return jnp.pad(a, ((2, 2), (lead, pad_hi), (0, 0)))
 
     kbi = padj(beta_i_ext[:, :, 1:-1], 3)          # j rows: -1 .. n
     kbj = padj(beta_j_ext[:, :, 1:-1], 4)          # j faces: 0 .. n
     kbk = padj(beta_k_ext[:, :, :-1], 3)
     kbk_top = padj(beta_k_ext[:, :, -1:], 3)
     return kbi, kbj, kbk, kbk_top
+
+
+# ---------------------------------------------------------------------------
+# fused red+black double sweep for fv4 (GSRB2_FV4)
+# ---------------------------------------------------------------------------
+
+# Radius-2 extension of the radius-1 double-sweep design
+# (kernels/stencils_r1.py GSRB2; VERDICT r3 item 1): ONE kernel launch +
+# ONE operand stream per FULL GSRB sweep instead of two. The red update
+# is computed on a +2 ring (cells [-2, bi+2) x [-2, bj+2)) from a
+# radius-4 masked x window, its quartic Dirichlet ghosts re-synthesized
+# in-kernel (apply_BCs_v4 between the half-sweeps, gsrb.c:30-31), and
+# the black update consumes the red iterate from VMEM. Per full sweep
+# this streams ~8.7 n^3 f32 instead of ~14.4 (two half-sweeps at ~7.2
+# each — see BF16C notes); the VPU cost grows by the ring recompute
+# factor (bi+4)(bj+4)/(bi*bj), so tile selection maximizes the
+# effective-interior fraction instead of raw area. Ring operand halos:
+# the i (leading) axis ring is served by the 2-row zero i-pad baked
+# into kernel_beta_views; the j ring rides the existing n+8 j-padding
+# (window [tj*bj, tj*bj+bj+8) covers j-cells [tj*bj-4, tj*bj+bj+4) with
+# zeros where out of domain — read only at discarded ring positions).
+# Masked Dirichlet single-chip only (a periodic wrap ghost needs the
+# opposite domain face's red iterate — not local to any tile).
+# Default OFF until the on-chip whole-solve A/B (the MXU_JDIFF/BF16C
+# discipline); force via bench/kernel_sweep.py --gsrb2 / ab_test.
+GSRB2_FV4 = False
+GSRB2_FV4_MAX_DIM = 512
+
+
+def _vmem_bytes_gsrb2_fv4(n: int, bi: int, bj: int,
+                          prediff: bool = False) -> int:
+    """Rough f32 VMEM footprint of one fused-double-sweep (bi, bj) tile:
+    double-buffered windows + the dominant ring-sized temporaries."""
+    ln = -(-n // 128) * 128
+    ncoef = 9 if prediff else 3
+    win = ((bi + 8) * (bj + 16) * ln           # x radius-4 window
+           + ncoef * (bi + 6) * (bj + 8) * ln  # beta(+prediff) ring wins
+           + 2 * (bi + 4) * (bj + 16) * ln     # rhs2 + d0
+           + 2 * bi * bj * ln)                 # d1 + out
+    tmp = (bi + 8) * (bj + 16) * ln + 10 * (bi + 4) * (bj + 4) * ln
+    return 4 * (2 * win + tmp)
+
+
+def tile_shape_gsrb2_fv4(n: int, prediff=None):
+    """(bi, bj) for the fv4 double-sweep kernel. Masked-window
+    constraints (>= 2 tiles per axis, n >= bi+8 / bj+16) under the
+    gsrb2 VMEM model. Unlike the half-sweep ``tile_shape`` the primary
+    key is the effective-interior fraction bi*bj/((bi+4)(bj+4)) — the
+    red pass recomputes the +2 ring, so a squarer tile beats a wide one
+    at equal area (e.g. (16,32) ring factor 1.41 vs (8,64)'s 1.59)."""
+    if prediff is None:
+        prediff = prediff_active(n)
+    best = None
+    for bj in (128, 64, 48, 32, 24, 16, 8):
+        if n % bj or n // bj < 2 or n < bj + 16:
+            continue
+        for bi in (64, 32, 16, 8, 4):
+            if n % bi or n // bi < 2 or n < bi + 8:
+                continue
+            if (_vmem_bytes_gsrb2_fv4(n, bi, bj, prediff)
+                    > _budget(prediff, n)):
+                continue
+            key = (bi * bj / float((bi + 4) * (bj + 4)), bi * bj, bj)
+            if best is None or key > best[0]:
+                best = (key, (bi, bj))
+    return best[1] if best else None
+
+
+def gsrb2_fv4_eligible(cfg: SolverConfig, dim: int) -> bool:
+    """Build-time gate for attaching the fv4 double-sweep operands
+    (``Level.k2``): masked Dirichlet single-chip only. The double sweep
+    consumes the prediff operands too when they are attached
+    (prediff_active), so the tile check matches that configuration."""
+    return (GSRB2_FV4 and dim <= GSRB2_FV4_MAX_DIM
+            and cfg.bc == BC.DIRICHLET and not SINGLE_EXT
+            and kernel_views_eligible(cfg, dim)
+            and tile_shape_gsrb2_fv4(dim) is not None)
+
+
+def pad_rhs_gsrb2_fv4(rhs):
+    """(n, n, n) -> (n+4, n+16, n) zero-padded rhs with live rows at
+    [2, n+2) x [8, n+8): ring windows at (ti*bi, tj*bj) are offset-exact.
+    Built once per smooth() call and amortized over its sweeps."""
+    return jnp.pad(rhs, ((2, 2), (8, 8), (0, 0)))
+
+
+def fv4_gsrb2_views(kdinv0, alpha=None):
+    """Pre-padded double-sweep operands (``Level.k2``, fv4 layout),
+    ordered (k2d0, k2alpha, None, None, None, None) for arity parity
+    with the radius-1 tuple. Only the red-parity dinv (and alpha under
+    Helmholtz) need ring copies — the beta ring windows read the i-padded
+    ``kbi/kbj/kbk`` views directly (kernel_beta_views). The baked ring
+    is zeros: a zero d0 makes the red update a no-op at out-of-domain
+    ring cells, whose values the mid-sweep ghost fix overwrites anyway."""
+    pad3 = lambda a: jnp.pad(a, ((2, 2), (8, 8), (0, 0)))  # noqa: E731
+    return (pad3(kdinv0), pad3(alpha) if alpha is not None else None,
+            None, None, None, None)
+
+
+def _ext4_tile_axis(w, b: int, t, nt: int, axis: int, pad: int):
+    """Radius-4 variant of ``_ext_tile_axis``: rows [-4, b+4) of the
+    boundary-extended tile from a clamped (b + 2*pad)-row window. At
+    boundary tiles rows -1/-2 (b/b+1) are the real quartic ghosts and
+    the two rows beyond duplicate the far ghost — they are only read by
+    red stencil applications at ghost positions, whose results are
+    discarded (overwritten by ``_fix_ghost_axis_v4``)."""
+    def sl(lo, hi):
+        return lax.slice_in_dim(w, lo, hi, axis=axis)
+
+    m = b + 2 * pad
+    g1l, g2l = _v4_ghost_pair(w, axis, lo=True)
+    first = jnp.concatenate([g2l, g2l, g2l, g1l, sl(0, b + 4)], axis)
+    g1h, g2h = _v4_ghost_pair(w, axis, lo=False)
+    last = jnp.concatenate([sl(m - (b + 4), m), g1h, g2h, g2h, g2h], axis)
+    mid = sl(pad - 4, pad + b + 4)
+    mf = (t == 0).astype(w.dtype)
+    ml = (t == nt - 1).astype(w.dtype)
+    return mf * first + (1.0 - mf - ml) * mid + ml * last
+
+
+def _fix_ghost_axis_v4(xr, b: int, t, nt: int, axis: int,
+                       lo=1.0, hi=1.0):
+    """Replace the +-2 ring rows of the red-updated extended tile with
+    the quartic Dirichlet ghost pair of the UPDATED interior (what the
+    apply_BCs_v4 pass between half-sweeps produces); interior tiles keep
+    their in-tile-updated neighbor rows. ``lo``/``hi`` scale the
+    first/last-tile masks (the future distributed slab2 mode passes
+    is-domain-edge flags)."""
+    def sl(lo_, hi_):
+        return lax.slice_in_dim(xr, lo_, hi_, axis=axis)
+
+    g1l, g2l = _v4_ghost_pair(sl(2, 6), axis, lo=True)
+    g1h, g2h = _v4_ghost_pair(sl(b - 2, b + 2), axis, lo=False)
+    first = jnp.concatenate([g2l, g1l, sl(2, b + 4)], axis)
+    last = jnp.concatenate([sl(0, b + 2), g1h, g2h], axis)
+    mf = (t == 0).astype(xr.dtype) * lo
+    ml = (t == nt - 1).astype(xr.dtype) * hi
+    return mf * first + (1.0 - mf - ml) * xr + ml * last
+
+
+def _fv4_gsrb2_kernel(*refs, n, bi, bj, nti, ntj, b_h2inv, a_alpha=0.0,
+                      prediff=False):
+    """One FULL fv4 GSRB sweep (red then black) on a (bi, bj, n) tile.
+
+    Red: ``_flux_ax`` on the +2-ring region (b=bi+4) from the radius-4
+    masked window; ring beta windows come from the i-padded
+    kernel_beta_views (j ring from the n+8 j-padding). Quartic ghosts of
+    the red iterate are re-synthesized in-kernel (i then j then the k
+    lane pair — the separable apply_BCs_v4 order), then the black update
+    runs on the interior with center slices of the SAME resident
+    operands: betas/rhs stream from HBM once per full sweep instead of
+    twice (gsrb.c:24-41's per-half-sweep exchange+BC anatomy halved).
+    With ``prediff`` the 8 kgd ring windows ride along (i ring from
+    their +2 i-pad) and both passes use the precomputed mixed-flux
+    operands."""
+    xw_ref = refs[0]
+    bi_ref, bj_ref, bk_ref, bktop_ref = refs[1:5]
+    k = 5
+    pd_refs = None
+    if prediff:
+        pd_refs = refs[k:k + 8]
+        k += 8
+    a2_ref = None
+    if a_alpha:
+        a2_ref = refs[k]
+        k += 1
+    rhs2_ref, d0_ref, d1_ref, out_ref = refs[k:k + 4]
+
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    xi = _ext4_tile_axis(xw_ref[...], bi, ti, nti, 0, 4)
+    xj = _ext4_tile_axis(xi, bj, tj, ntj, 1, 8)       # (bi+8, bj+8, n)
+    k1lo, k2lo = _v4_ghost_pair(xj, 2, lo=True)
+    k1hi, k2hi = _v4_ghost_pair(xj, 2, lo=False)
+    xglo = jnp.concatenate([k2lo, k1lo], axis=-1)
+    xghi = jnp.concatenate([k1hi, k2hi], axis=-1)
+
+    bE, JE = bi + 4, bj + 4
+    # ring coefficient windows: i rows are exact by the +2 i-pad of the
+    # views; j rows [-3, bj+3) sit at fixed in-window offsets of the
+    # (bj+8)-row window at tj*bj (cells/faces lead 4 within n+8 padding)
+    ebi = bi_ref[...][:, 1:bj + 7, :]        # (bi+5, bj+6, n)
+    ebj = bj_ref[...][:, 2:bj + 7, :]        # (bi+6, bj+5, n)
+    ebk = bk_ref[...][:, 1:bj + 7, :]        # (bi+6, bj+6, n)
+    etop = bktop_ref[...][:, 1:bj + 7, :]
+    if prediff:
+        bi_glo = bi_ghi = bj_glo = bj_ghi = None
+        # ring windows of the 8 kgd operands (kernel_beta_prediff order;
+        # j slices per the lead-4 layout, i ring from the +2 i-pad)
+        pd1 = (pd_refs[0][...][:, 2:bj + 6, :],   # dij (bi+5, bj+4, n)
+               pd_refs[1][...][:, 2:bj + 6, :],   # dik
+               pd_refs[2][...][:, 2:bj + 7, :],   # dji (bi+4, bj+5, n)
+               pd_refs[3][...][:, 2:bj + 7, :],   # djk
+               pd_refs[4][...][:, 2:bj + 6, :],   # dki (bi+4, bj+4, n)
+               pd_refs[5][...][:, 2:bj + 6, :],   # dkj
+               pd_refs[6][...][:, 2:bj + 6, :],   # dki_top (.., 1)
+               pd_refs[7][...][:, 2:bj + 6, :])   # dkj_top
+    else:
+        pd1 = None
+        bi_glo = _quintic_ghost(ebi, 2, lo=True)
+        bi_ghi = _quintic_ghost(ebi, 2, lo=False)
+        bj_glo = _quintic_ghost(ebj, 2, lo=True)
+        bj_ghi = _quintic_ghost(ebj, 2, lo=False)
+
+    rhs2 = rhs2_ref[...][:, 6:bj + 10, :]    # (bi+4, bj+4, n)
+    d0 = d0_ref[...][:, 6:bj + 10, :]
+    a2 = a2_ref[...][:, 6:bj + 10, :] if a_alpha else None
+
+    ax1 = (-b_h2inv / 12.0) * _flux_ax(
+        xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
+        ebk, etop, bE, JE, pd=pd1)
+    c1 = xj[2:2 + bE, 2:2 + JE, :]
+    if a_alpha:
+        ax1 = ax1 + a_alpha * a2 * c1
+    xr = c1 + d0 * (rhs2 - ax1)
+    xr = _fix_ghost_axis_v4(xr, bi, ti, nti, 0)
+    xr = _fix_ghost_axis_v4(xr, bj, tj, ntj, 1)
+
+    # black pass: xr IS the (bi+4, bj+4, n) extended window
+    k1lo, k2lo = _v4_ghost_pair(xr, 2, lo=True)
+    k1hi, k2hi = _v4_ghost_pair(xr, 2, lo=False)
+    xglo2 = jnp.concatenate([k2lo, k1lo], axis=-1)
+    xghi2 = jnp.concatenate([k1hi, k2hi], axis=-1)
+    pd2 = None
+    if prediff:
+        pd2 = (pd1[0][2:bi + 3, 2:bj + 2, :],   # (bi+1, bj, n)
+               pd1[1][2:bi + 3, 2:bj + 2, :],
+               pd1[2][2:bi + 2, 2:bj + 3, :],   # (bi, bj+1, n)
+               pd1[3][2:bi + 2, 2:bj + 3, :],
+               pd1[4][2:bi + 2, 2:bj + 2, :],   # (bi, bj, n)
+               pd1[5][2:bi + 2, 2:bj + 2, :],
+               pd1[6][2:bi + 2, 2:bj + 2, :],
+               pd1[7][2:bi + 2, 2:bj + 2, :])
+    ax2 = (-b_h2inv / 12.0) * _flux_ax(
+        xr, xglo2, xghi2,
+        ebi[2:bi + 3, 2:bj + 4, :],
+        None if prediff else bi_glo[2:bi + 3, 2:bj + 4, :],
+        None if prediff else bi_ghi[2:bi + 3, 2:bj + 4, :],
+        ebj[2:bi + 4, 2:bj + 3, :],
+        None if prediff else bj_glo[2:bi + 4, 2:bj + 3, :],
+        None if prediff else bj_ghi[2:bi + 4, 2:bj + 3, :],
+        ebk[2:bi + 4, 2:bj + 4, :], etop[2:bi + 4, 2:bj + 4, :], bi, bj,
+        pd=pd2)
+    cc = xr[2:2 + bi, 2:2 + bj, :]
+    if a_alpha:
+        ax2 = ax2 + a_alpha * a2[2:2 + bi, 2:2 + bj, :] * cc
+    out_ref[...] = cc + d1_ref[...] * (rhs2[2:2 + bi, 2:2 + bj, :] - ax2)
+
+
+def fv4_gsrb2_pallas(level: Level, x, rhse, cfg: SolverConfig):
+    """One fused red+black fv4 GSRB sweep in a single kernel launch.
+    ``rhse`` is the pre-padded rhs (``pad_rhs_gsrb2_fv4``); the ring
+    dinv (and alpha) ride in ``level.k2``; the beta ring windows read
+    the i-padded ``kbi/kbj/kbk`` views shared with the half-sweep
+    kernel."""
+    n = level.dim
+    prediff = getattr(level, "kgd", None) is not None
+    bi, bj = tile_shape_gsrb2_fv4(n, prediff)
+    nti, ntj = n // bi, n // bj
+    a_alpha = cfg.a if cfg.helmholtz else 0.0
+    k2d0, k2a = level.k2[0], level.k2[1]
+    kernel = functools.partial(
+        _fv4_gsrb2_kernel, n=n, bi=bi, bj=bj, nti=nti, ntj=ntj,
+        b_h2inv=cfg.b * level.h2inv, a_alpha=a_alpha, prediff=prediff)
+    E = pl.Element
+
+    def xmap(ti, tj):
+        # sublane (j) window offsets must be PROVABLY x8 for Mosaic
+        return (jnp.clip(ti * bi - 4, 0, n - bi - 8),
+                8 * jnp.clip(tj * (bj // 8) - 1, 0, (n - bj - 16) // 8), 0)
+
+    def bmap(ti, tj):
+        return (ti * bi, tj * bj, 0)
+
+    ring_spec = pl.BlockSpec((E(bi + 4), E(bj + 16), E(n)), bmap)
+    in_specs = [
+        pl.BlockSpec((E(bi + 8), E(bj + 16), E(n)), xmap),
+        pl.BlockSpec((E(bi + 5), E(bj + 8), E(n)), bmap),
+        pl.BlockSpec((E(bi + 6), E(bj + 8), E(n)), bmap),
+        pl.BlockSpec((E(bi + 6), E(bj + 8), E(n)), bmap),
+        pl.BlockSpec((E(bi + 6), E(bj + 8), E(1)), bmap),
+    ]
+    args = [x, level.kbi, level.kbj, level.kbk, level.kbk_top]
+    if prediff:
+        in_specs += _prediff_specs(bi, bj, n, bmap, ring=4)
+        args += list(level.kgd)
+    if a_alpha:
+        in_specs.append(ring_spec)
+        args.append(k2a)
+    tile_spec = pl.BlockSpec((bi, bj, n), lambda ti, tj: (ti, tj, 0))
+    in_specs += [ring_spec, ring_spec, tile_spec]
+    args += [rhse, k2d0, level.kdinv[1]]
+    return pl.pallas_call(
+        kernel,
+        grid=(nti, ntj),
+        in_specs=in_specs,
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct(level.shape, x.dtype),
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=INTERPRET,
+    )(*args)
 
 
 def kernel_beta_prediff(beta_i_ext, beta_j_ext, beta_k_ext):
@@ -1084,12 +1424,14 @@ def kernel_beta_prediff(beta_i_ext, beta_j_ext, beta_k_ext):
     values, so no lane-ghost synthesis is needed at sweep time.
 
     Layouts mirror kernel_beta_views (trailing dim exactly n, j dim
-    padded to n+8) with the live j rows at lead offset +4 (cells 0..n-1,
-    or j-faces 0..n for dji/djk):
+    padded to n+8, i leading axis zero-padded by 2 each side so the
+    GSRB2_FV4 ring windows are offset-exact; the half-sweep kernel reads
+    the live rows at ``ti*bi + 2``) with the live j rows at lead offset
+    +4 (cells 0..n-1, or j-faces 0..n for dji/djk):
 
-    dij/dik (n+1, n+8, n): i-face coefficient j-/k-differences
-    dji/djk (n, n+8, n):   j-face (face axis in sublanes) i-/k-diffs
-    dki/dkj (n, n+8, n) + dki_top/dkj_top (n, n+8, 1): k-face (low
+    dij/dik (n+5, n+8, n): i-face coefficient j-/k-differences
+    dji/djk (n+4, n+8, n): j-face (face axis in sublanes) i-/k-diffs
+    dki/dkj (n+4, n+8, n) + dki_top/dkj_top (n+4, n+8, 1): k-face (low
         faces + top plane, like kbk) i-/j-diffs
     """
     n = beta_i_ext.shape[1] - 2
@@ -1097,7 +1439,7 @@ def kernel_beta_prediff(beta_i_ext, beta_j_ext, beta_k_ext):
 
     def padj(a, lead=4):
         pad_hi = (n + 8) - lead - a.shape[1]
-        return jnp.pad(a, ((0, 0), (lead, pad_hi), (0, 0)))
+        return jnp.pad(a, ((2, 2), (lead, pad_hi), (0, 0)))
 
     dij = padj(q * (beta_i_ext[:, 2:, 1:-1] - beta_i_ext[:, :-2, 1:-1]))
     dik = padj(q * (beta_i_ext[:, 1:-1, 2:] - beta_i_ext[:, 1:-1, :-2]))

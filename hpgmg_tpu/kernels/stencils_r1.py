@@ -252,7 +252,9 @@ def use_pallas_r1(cfg: SolverConfig, level: Level) -> bool:
             and level.dim < _s._AUTO_MIN_DIM):
         return False
     if _s.INTERPRET:
-        return True
+        return True  # the interpreter handles 64-bit (CPU parity tests)
+    if jnp.dtype(level.dtype).itemsize > 4:
+        return False  # Mosaic has no 64-bit types (f64 verification runs)
     try:
         return jax.default_backend() == "tpu"
     except Exception:

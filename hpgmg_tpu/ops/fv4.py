@@ -167,6 +167,17 @@ class FV4(base.OperatorSuite):
             return x
         if not use_pallas(cfg, level, x):
             return NotImplemented
+        import hpgmg_tpu.kernels.stencils as K
+
+        if (K.GSRB2_FV4 and getattr(level, "k2", None) is not None
+                and nsweeps % 2 == 0
+                and not (cfg.bc == BC.PERIODIC or K.SINGLE_EXT)):
+            # fused red+black double sweeps: one launch + one operand
+            # stream per FULL sweep; rhs padded once per smooth call
+            rhse = K.pad_rhs_gsrb2_fv4(rhs)
+            for _ in range(nsweeps // 2):
+                x = K.fv4_gsrb2_pallas(level, x, rhse, cfg)
+            return x
         for s in range(nsweeps):
             x = fv4_gsrb_sweep_pallas(level, x, rhs, cfg, s & 1)
         return x
@@ -225,6 +236,13 @@ class FV4(base.OperatorSuite):
                           for p in (0, 1))
             lv = dataclasses.replace(lv, kdinv=kdinv)
             from hpgmg_tpu.kernels import stencils
+
+            # fused double-sweep ring operands (GSRB2_FV4): only the
+            # red-parity dinv (and alpha) need padded ring copies — the
+            # beta rings ride the i-padded kbi/kbj/kbk views above
+            if stencils.gsrb2_fv4_eligible(cfg, lv.dim):
+                lv = dataclasses.replace(lv, k2=stencils.fv4_gsrb2_views(
+                    kdinv[0], lv.alpha if cfg.helmholtz else None))
 
             # smoother-only bf16 coefficient copies (BF16C; masked
             # Dirichlet single-chip mode — the ext/periodic/sharded

@@ -54,6 +54,29 @@ def test_use_pallas_gating(setup):
     assert not K.use_pallas(dataclasses.replace(cfg, kernels="xla"), lv, x)
 
 
+def test_use_pallas_f64_hardware_gate(setup, monkeypatch):
+    """On real hardware (INTERPRET off) f64 levels must fall back to the
+    XLA path: Mosaic has no 64-bit types (observed on-chip: every f64
+    kernel compile dies with 'NotImplementedError: 64-bit types')."""
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]  # f64 by the module fixture
+    import dataclasses as dc
+
+    import hpgmg_tpu.kernels.stencils_r1 as K1
+
+    pcfg = dc.replace(cfg, kernels="pallas")
+    assert K.use_pallas(pcfg, lv, x)  # interpreter: 64-bit fine
+    K.INTERPRET = False
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert not K.use_pallas(pcfg, lv, x)
+    assert not K1.use_pallas_r1(pcfg, dc.replace(lv, kernel_suite="var7"))
+    # an f32 level still selects the kernel under the same conditions
+    lv32 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a, lv)
+    assert K.use_pallas(pcfg, lv32, x.astype(jnp.float32))
+    K.INTERPRET = True
+
+
 def test_apply_matches_xla(setup):
     cfg, prob, hier, op, x = setup
     lv = hier.levels[0]
@@ -97,6 +120,70 @@ def test_gsrb_sweep_matches_xla(setup, parity):
     ax = op.apply_op(lv, x, dataclasses_xla(cfg))
     ref = x + rb_mask(48, parity, x.dtype) * lv.dinv * (prob.f - ax)
     out = K.fv4_gsrb_sweep_pallas(lv, x, prob.f, cfg, parity)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def _two_half_sweeps_xla(op, lv, x, rhs, cfg):
+    """Reference full GSRB sweep: red then black through the XLA path
+    with a fresh ghost fill before each half (gsrb.c:24-41)."""
+    xc = dataclasses_xla(cfg)
+    n = lv.dim
+    x1 = x + rb_mask(n, 0, x.dtype) * lv.dinv * (rhs - op.apply_op(lv, x, xc))
+    return x1 + rb_mask(n, 1, x.dtype) * lv.dinv * (
+        rhs - op.apply_op(lv, x1, xc))
+
+
+@pytest.mark.parametrize("prediff", [False, True])
+def test_fv4_gsrb2_matches_two_half_sweeps(setup, monkeypatch, prediff):
+    """The fused red+black double-sweep kernel (GSRB2_FV4) against two
+    XLA half-sweeps with the mid-sweep apply_BCs_v4 ghost fill, with and
+    without the prediff ring operands. n=48 with the auto tile (16, 24)
+    exercises first/mid/last i tiles and first/last j tiles."""
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    monkeypatch.setattr(K, "GSRB2_FV4", True)
+    assert K.gsrb2_fv4_eligible(cfg, lv.dim)
+    import dataclasses as dc
+    lv2 = dc.replace(lv, k2=K.fv4_gsrb2_views(lv.kdinv[0]),
+                     kgd=lv.kgd if prediff else None)
+    if prediff:
+        assert lv.kgd is not None  # prediff_active at n=48
+    ref = _two_half_sweeps_xla(op, lv, x, prob.f, cfg)
+    out = K.fv4_gsrb2_pallas(lv2, x, K.pad_rhs_gsrb2_fv4(prob.f), cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_fv4_gsrb2_interior_j_tiles(setup, monkeypatch):
+    """Force an (8, 16) tile so the j axis also has an interior tile
+    (the auto pick at n=48 only has first/last on j)."""
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    monkeypatch.setattr(K, "GSRB2_FV4", True)
+    monkeypatch.setattr(K, "tile_shape_gsrb2_fv4", lambda n, prediff=None: (8, 16))
+    import dataclasses as dc
+    lv2 = dc.replace(lv, k2=K.fv4_gsrb2_views(lv.kdinv[0]))
+    ref = _two_half_sweeps_xla(op, lv, x, prob.f, cfg)
+    out = K.fv4_gsrb2_pallas(lv2, x, K.pad_rhs_gsrb2_fv4(prob.f), cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_fv4_gsrb2_dispatch(setup, monkeypatch):
+    """op.gsrb_sweep routes even sweep counts through the double-sweep
+    kernel when the k2 operands are attached; 6 half-sweeps must equal
+    3 fused full sweeps."""
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    monkeypatch.setattr(K, "GSRB2_FV4", True)
+    import dataclasses as dc
+    lv2 = dc.replace(lv, k2=K.fv4_gsrb2_views(lv.kdinv[0]))
+    pcfg = dc.replace(cfg, kernels="pallas")
+    ref = x
+    for _ in range(3):
+        ref = _two_half_sweeps_xla(op, lv, ref, prob.f, cfg)
+    out = op.gsrb_sweep(lv2, x, prob.f, pcfg, 6)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-12)
 
