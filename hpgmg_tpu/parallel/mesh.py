@@ -81,7 +81,8 @@ def make_mesh_ij(devices: Optional[List] = None) -> Mesh:
     return Mesh(arr, MESH_AXES)
 
 
-def make_pod_mesh(devices: Optional[List] = None) -> Mesh:
+def make_pod_mesh(devices: Optional[List] = None,
+                  n_slices: Optional[int] = None) -> Mesh:
     """Pod-scale mesh: the slice-to-slice (DCN) dimension becomes the
     OUTERMOST factor of the 'z' axis, so z-sharded halo exchanges cross
     DCN only at one plane per slice boundary while x/y halos and all
@@ -89,19 +90,32 @@ def make_pod_mesh(devices: Optional[List] = None) -> Mesh:
     locality keeping surface:volume low across nodes (level.c:240-275).
 
     Uses ``mesh_utils.create_hybrid_device_mesh`` when the devices span
-    multiple slices; single-slice (or CPU) falls back to ``make_mesh``.
+    multiple slices; single-slice (or CPU) falls back to ``make_mesh``
+    unless ``n_slices`` explicitly emulates the slice structure
+    (consecutive device blocks = one slice) — the dryrun's hybrid-mesh
+    compile check on virtual devices, where slice_index doesn't exist.
     """
     if devices is None:
         devices = jax.devices()
-    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    detected = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_slices is None:
+        n_slices = detected
     if n_slices <= 1:
         return make_mesh(devices)
-    from jax.experimental import mesh_utils
+    per = len(devices) // n_slices
+    per_slice = _factor3(per)
+    if detected == n_slices and detected > 1:
+        from jax.experimental import mesh_utils
 
-    per_slice = _factor3(len(devices) // n_slices)
-    arr = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=per_slice, dcn_mesh_shape=(1, 1, n_slices),
-        devices=devices)
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=per_slice, dcn_mesh_shape=(1, 1, n_slices),
+            devices=devices)
+    else:
+        # emulated slices: same hybrid layout (DCN factor outermost on
+        # z), built by hand from consecutive per-slice device blocks
+        arr = np.concatenate(
+            [np.array(devices[s * per:(s + 1) * per]).reshape(per_slice)
+             for s in range(n_slices)], axis=2)
     return Mesh(arr, MESH_AXES)
 
 
@@ -191,8 +205,17 @@ def shard_hierarchy(mesh: Mesh, hier, cfg=None):
             kbi, kbj, kbk, kbk_top, kdinv = build_sharded_views(mesh, lv)
             kviews = dict(kbi=kbi, kbj=kbj, kbk=kbk, kbk_top=kbk_top,
                           kdinv=kdinv, ksharded=True,
-                          # global-layout kgd/kb16 unusable per-shard
+                          # global-layout kb16 unusable per-shard
                           kgd=None, kb16=None)
+            if getattr(lv, "kgd", None) is not None:
+                # distributed PREDIFF: per-shard cuts of the global
+                # mixed-flux operands, so the sharded kernel matches
+                # the single-chip best-known config at sizes where
+                # prediff wins (<= PREDIFF_MAX_DIM)
+                from hpgmg_tpu.parallel.shard_kernels import \
+                    build_sharded_kgd
+
+                kviews["kgd"] = build_sharded_kgd(mesh, lv)
         elif (cfg is not None and lv.kernel_suite is not None
                 and not replicated and lv.dinv is not None
                 and sharded_r1_eligible(mesh, lv.dim, cfg,

@@ -92,7 +92,9 @@ def use_pallas_sharded(cfg: SolverConfig, level: Level) -> bool:
     if get_active_mesh() is None:
         return False
     if stencils.INTERPRET:
-        return True
+        return True  # the interpreter handles 64-bit (CPU parity tests)
+    if jnp.dtype(level.dtype).itemsize > 4:
+        return False  # Mosaic has no 64-bit types (f64 verification runs)
     try:
         return jax.default_backend() == "tpu"
     except Exception:
@@ -153,7 +155,9 @@ def use_pallas_r1_sharded(cfg: SolverConfig, level: Level) -> bool:
     if get_active_mesh() is None:
         return False
     if stencils.INTERPRET:
-        return True
+        return True  # the interpreter handles 64-bit (CPU parity tests)
+    if jnp.dtype(level.dtype).itemsize > 4:
+        return False  # Mosaic has no 64-bit types (f64 verification runs)
     try:
         return jax.default_backend() == "tpu"
     except Exception:
@@ -436,8 +440,13 @@ def fv4_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
     a_alpha = cfg.a if cfg.helmholtz else 0.0
     sx, sy = mesh.shape["x"], mesh.shape["y"]
     nli, nlj = level.dim // sx, level.dim // sy
-    use_slab = tile_shape_slab(nli, nlj, level.dim) is not None
+    kgd = getattr(level, "kgd", None)
+    npd = len(kgd) if kgd is not None else 0
+    use_slab = tile_shape_slab(nli, nlj, level.dim,
+                               kgd is not None) is not None
     args = [x, level.kbi, level.kbj, level.kbk, level.kbk_top]
+    if kgd is not None:
+        args += list(kgd)  # distributed PREDIFF operands (per-shard cuts)
     if a_alpha:
         args.append(level.alpha)
     if mode != "apply":
@@ -450,6 +459,10 @@ def fv4_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
         from hpgmg_tpu.kernels.stencils import fv4_call_ext, fv4_call_slab
 
         k = 0
+        kgdl = None
+        if npd:
+            kgdl = rest[:npd]
+            k = npd
         alphal = None
         if a_alpha:
             alphal = rest[k]
@@ -461,11 +474,11 @@ def fv4_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
             return fv4_call_slab(xl, ilo, ihi, jlo, jhi, kbi, kbj, kbk,
                                  kbktop, rhsl, dl, mode, b_h2inv,
                                  kperiodic=periodic, a_alpha=a_alpha,
-                                 alpha=alphal)
+                                 alpha=alphal, kgd=kgdl)
         xe = extend_for_kernel(xl, mesh, periodic)
         return fv4_call_ext(xe, kbi, kbj, kbk, kbktop, rhsl, dl, mode,
                             b_h2inv, kperiodic=periodic, a_alpha=a_alpha,
-                            alpha=alphal)
+                            alpha=alphal, kgd=kgdl)
 
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
     # annotation, which the checker (jax >= 0.7) would reject
@@ -673,6 +686,43 @@ def build_sharded_views(mesh: Mesh, level: Level):
         for p in (0, 1))
     put = lambda a: jax.device_put(a, sh)  # noqa: E731
     return put(kbi), put(kbj), put(kbk), put(kbk_top), kdinv
+
+
+def build_sharded_kgd(mesh: Mesh, level: Level):
+    """Per-shard cuts of the 8 precomputed mixed-flux operands
+    (``Level.kgd``, kernels/stencils.py kernel_beta_prediff), stacked
+    P('x','y')-sharded like ``build_sharded_views`` — the distributed
+    PREDIFF path (VERDICT r3 item 5). The prediff operands carry NO
+    tangential ghosts (the diffs folded them at build time), so each
+    shard's block is a plain cut of the live rows re-padded to the
+    (nlj+8)-row lead-4 kernel layout; the global j lead is also 4, so
+    the cut is ``[q*nlj+4, ...)`` of the padded axis."""
+    sx, sy = mesh.shape["x"], mesh.shape["y"]
+    n = level.dim
+    nli, nlj = n // sx, n // sy
+
+    def stack(blocks):
+        return jnp.concatenate(
+            [jnp.concatenate(row, axis=1) for row in blocks], axis=0)
+
+    def cut(g, iext, jext):
+        # g: (n + 4 + iext, n + 8, nk) — global kgd layout: i zero-padded
+        # by 2 each side (live rows at +2), live j rows at lead 4. The
+        # per-shard cuts stay UNpadded on i (the sharded kernels read
+        # them at plain ti*bi offsets, ipad=0).
+        out = stack([[jnp.pad(
+            g[p * nli + 2:p * nli + 2 + nli + iext,
+              q * nlj + 4:q * nlj + 4 + nlj + jext, :],
+            ((0, 0), (4, 4 - jext), (0, 0)))
+            for q in range(sy)] for p in range(sx)])
+        return jax.device_put(out, NamedSharding(mesh, _SPEC))
+
+    dij, dik, dji, djk, dki, dkj, dki_t, dkj_t = level.kgd
+    # i-face diffs ride the (nli+1)-row face window; j-face diffs keep
+    # their sublane face axis (nlj+1 live rows); the rest are cell dims
+    return (cut(dij, 1, 0), cut(dik, 1, 0), cut(dji, 0, 1),
+            cut(djk, 0, 1), cut(dki, 0, 0), cut(dkj, 0, 0),
+            cut(dki_t, 0, 0), cut(dkj_t, 0, 0))
 
 
 def build_sharded_views_r1(mesh: Mesh, level: Level):

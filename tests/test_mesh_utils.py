@@ -29,3 +29,24 @@ def test_pod_mesh_single_slice_fallback():
     mesh = make_pod_mesh()
     ref = make_mesh()
     assert dict(mesh.shape) == dict(ref.shape)
+
+
+def test_pod_mesh_emulated_slices():
+    """Explicit n_slices emulates the hybrid layout on virtual devices:
+    the DCN factor rides outermost on z, consecutive device blocks form
+    one slice each (so the z halo crosses the slice boundary at exactly
+    one plane)."""
+    import jax
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        import pytest
+
+        pytest.skip("needs >= 4 devices")
+    mesh = make_pod_mesh(devs[:4], n_slices=2)
+    # 2 devices per slice -> per-slice (2,1,1); z = 1*2 slices
+    assert dict(mesh.shape) == {"x": 2, "y": 1, "z": 2}
+    arr = mesh.devices
+    # slice 0 = devices 0,1; slice 1 = devices 2,3; z is the slice axis
+    assert arr[0, 0, 0] == devs[0] and arr[1, 0, 0] == devs[1]
+    assert arr[0, 0, 1] == devs[2] and arr[1, 0, 1] == devs[3]

@@ -51,6 +51,27 @@ def test_level_sharding_agglomeration():
 
 
 @requires_8dev
+def test_level_sharding_intermediate_stage():
+    """The graduated agglomeration ladder (mg.c:894-952's 8:1-then-1-rank
+    analog): on an asymmetric mesh, mid-ladder levels drop sharded axes
+    ONE AT A TIME (a sub-mesh stage) before going fully replicated —
+    not a binary sharded/replicated split. On the 4x2x1 kernel mesh the
+    16^3 level keeps the y axis sharded while x (16/4 = 4 < 8 cells)
+    agglomerates."""
+    from jax.sharding import PartitionSpec as P
+
+    from hpgmg_tpu.parallel.mesh import make_mesh_ij
+
+    mesh = make_mesh_ij()
+    assert dict(mesh.shape) == {"x": 4, "y": 2, "z": 1}
+    assert level_sharding(mesh, 64).spec == P("x", "y", None)
+    assert level_sharding(mesh, 32).spec == P("x", "y", None)
+    # intermediate sub-mesh stage: x agglomerated, y still sharded
+    assert level_sharding(mesh, 16).spec == P(None, "y", None)
+    assert level_sharding(mesh, 8).spec == P()
+
+
+@requires_8dev
 def test_fcycle_sharded_matches_serial():
     cfg, hier, prob = _setup(32)
     op = get_suite(cfg.op)

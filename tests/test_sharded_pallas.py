@@ -65,6 +65,47 @@ def test_sharded_views_built(interpret):
 
 
 @requires_8dev
+def test_sharded_prediff_views_built(interpret):
+    """Distributed PREDIFF (VERDICT r3 item 5): shard_hierarchy cuts
+    per-shard kgd operands whenever the single-chip build attached them
+    (prediff is default-on <= 256), and both per-shard mechanisms (slab
+    and ext) consume them with parity vs the XLA path."""
+    from hpgmg_tpu.parallel import shard_kernels as SK
+
+    cfg, hier, prob = _setup(64)
+    assert hier.levels[0].kgd is not None  # single-chip prediff attached
+    mesh = make_mesh_ij()
+    hier_s = shard_hierarchy(mesh, hier, cfg)
+    lvs = hier_s.levels[0]
+    assert lvs.ksharded and lvs.kgd is not None and len(lvs.kgd) == 8
+    # stacked per-shard shapes: i-face diffs (sx*(nli+1), sy*(nlj+8), n)
+    assert lvs.kgd[0].shape == (4 * 17, 2 * 40, 64)
+    assert lvs.kgd[2].shape == (4 * 16, 2 * 40, 64)
+
+    op = get_suite(cfg.op)
+    cfg_xla = SolverConfig(op="fv4", a=0.0, dtype=jnp.float64,
+                           kernels="xla")
+    x = prob.f / (1.0 + jnp.max(jnp.abs(prob.f)))
+    ref = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg_xla))(
+        hier.levels[0], x, prob.f)
+    x_s, rhs_s = shard_array(mesh, x), shard_array(mesh, prob.f)
+    for force_ext in (False, True):
+        if force_ext:
+            # drop to the ext mechanism by denying the slab tile
+            orig = stencils.tile_shape_slab
+            stencils.tile_shape_slab = lambda *a, **k: None
+        try:
+            with active_mesh(mesh):
+                out = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg))(
+                    lvs, x_s, rhs_s)
+        finally:
+            if force_ext:
+                stencils.tile_shape_slab = orig
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-12, atol=5e-13)
+
+
+@requires_8dev
 @pytest.mark.parametrize("mode", ["apply", "residual", "gsrb"])
 def test_sharded_kernel_matches_xla(interpret, mode):
     """One kernel application, sharded Pallas vs single-device XLA."""
@@ -355,7 +396,8 @@ def test_single_chip_slab_parity(interpret):
         kper = bc == BC.PERIODIC
         out = stencils.fv4_call_slab(
             x, ilo, ihi, jlo, jhi, lv.kbi, lv.kbj, lv.kbk, lv.kbk_top,
-            None, None, "apply", cfg.b * lv.h2inv, kperiodic=kper)
+            None, None, "apply", cfg.b * lv.h2inv, kperiodic=kper,
+            ipad=2)
         ref = op.apply_op(lv, x, cfg_x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-12, atol=1e-10)
@@ -363,7 +405,8 @@ def test_single_chip_slab_parity(interpret):
         refg = x + rb_mask(48, 1, x.dtype) * lv.dinv * (prob.f - ax)
         outg = stencils.fv4_call_slab(
             x, ilo, ihi, jlo, jhi, lv.kbi, lv.kbj, lv.kbk, lv.kbk_top,
-            prob.f, lv.kdinv[1], "gsrb", cfg.b * lv.h2inv, kperiodic=kper)
+            prob.f, lv.kdinv[1], "gsrb", cfg.b * lv.h2inv, kperiodic=kper,
+            ipad=2)
         np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
                                    rtol=1e-12, atol=1e-12)
 
