@@ -208,30 +208,43 @@ class FEOp:
 
     def diagonal(self, grid: FEGrid, coords: Optional[jax.Array],
                  dtype=jnp.float64, metric=None) -> jax.Array:
-        """Matrix-free diag(A) by probing each element-local basis function
-        (OpGetDiagonal, op.c:263-338): P^3 one-hot element probes."""
+        """Matrix-free diag(A) (OpGetDiagonal, op.c:263-338), in closed
+        separable form instead of the reference's P^3 one-hot element
+        probes: with e the (i,j,k) one-hot, du[b](q) factorizes as
+        mats[b][0][q1,i]*mats[b][1][q2,j]*mats[b][2][q3,k], so
+
+          diag[ijk] = sum_ab sum_q prod_t (mats[a][t] ⊙ mats[b][t])(q_t, ·)
+                      * K[a,b](q)
+
+        — 9 transpose-contractions over the metric (1 for mass-only) in
+        place of 27 full applies. The unrolled probe loop was the FE
+        sampler's >24^3 compile blowup (27x the apply HLO per level —
+        docs/FESAMPLE_r04.md); this form also runs ~P^3 fewer FLOPs."""
         B, D, w = self.tensors(grid, dtype)
         mats = {0: (D, B, B), 1: (B, D, B), 2: (B, B, D)}
         if metric is None:
             metric = self.make_metric(grid, coords, dtype)
-        P = grid.degree + 1
-        diag_elems = jnp.zeros((P, P, P) + tuple(grid.M), dtype)
-        for i in range(P):
-            for j in range(P):
-                for k in range(P):
-                    e = jnp.zeros((P, P, P, 1, 1, 1), dtype).at[
-                        i, j, k, 0, 0, 0].set(1.0)
-                    e = jnp.broadcast_to(e, (P, P, P) + tuple(grid.M))
-                    if self.mass_only:
-                        _, wdxdet = metric
-                        uq = _contract(e, (B, B, B))
-                        ve = _contract_t(wdxdet * uq, (B, B, B))
+        M = tuple(grid.M)
+        if self.mass_only:
+            _, wdxdet = metric
+            wd = jnp.broadcast_to(wdxdet, wdxdet.shape[:3] + M)
+            diag_elems = _contract_t(wd, (B * B, B * B, B * B))
+        else:
+            Ka, wdxdet = metric
+            diag_elems = None
+            for a in range(3):
+                for b in range(3):
+                    if Ka.ndim == 1:
+                        if a != b:
+                            continue  # affine metric is diagonal
+                        Kab = Ka[a] * wdxdet
                     else:
-                        du = [_contract(e, mats[a]) for a in range(3)]
-                        dv = self._apply_metric(metric, du)
-                        ve = sum(_contract_t(dv[a], mats[a])
-                                 for a in range(3))
-                    diag_elems = diag_elems.at[i, j, k].set(ve[i, j, k])
+                        Kab = Ka[a, b]
+                    Kab = jnp.broadcast_to(Kab, Kab.shape[:3] + M)
+                    U = tuple(mats[a][t] * mats[b][t] for t in range(3))
+                    term = _contract_t(Kab, U)
+                    diag_elems = (term if diag_elems is None
+                                  else diag_elems + term)
         d = grid.assemble_add(diag_elems)
         # constrained (boundary) nodes act as identity rows: diag = 1
         d = grid.zero_boundaries(d)
