@@ -32,7 +32,7 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
                 kernels: str = "auto", probe_main_only: bool = False,
                 prediff: bool = False, roll_prim: bool = False,
                 slab: bool = False, gsrb2: bool = False,
-                bf16c: bool = False) -> float:
+                bf16c: bool = False, subtile: bool = False) -> float:
     """Seconds per HALF-sweep."""
     import hpgmg_tpu.kernels.stencils as K
     import hpgmg_tpu.kernels.stencils_r1 as K1
@@ -80,10 +80,12 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
     old_mxu = K.MXU_JDIFF
     old_probe = K.PROBE_MAIN_ONLY
     old_roll = K.ROLL_PRIM
+    old_subtile = K.SUBTILE
     K.SINGLE_EXT = ext
     K.MXU_JDIFF = mxu
     K.PROBE_MAIN_ONLY = probe_main_only
     K.ROLL_PRIM = roll_prim
+    K.SUBTILE = subtile  # sub-tiled masked kernel (dispatch-time switch)
     nhalf = 2 * cfg.resolved_num_smooths(op)
     try:
         if slab and opname != "fv4":
@@ -142,6 +144,7 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
         K.MXU_JDIFF = old_mxu
         K.PROBE_MAIN_ONLY = old_probe
         K.ROLL_PRIM = old_roll
+        K.SUBTILE = old_subtile
         K.PREDIFF = old_prediff
         K.PREDIFF_MAX_DIM = old_maxdim
         K1.GSRB2 = old_gsrb2
@@ -228,6 +231,10 @@ def main(argv=None):
                         "the prediff variant pick the wide (8,128) "
                         "tile at 512^3 (est ~90 MB, under the 100 MB "
                         "Mosaic limit) instead of (8,64)")
+    p.add_argument("--prediff-max-dim", type=int, default=None,
+                   help="override PREDIFF_MAX_DIM (default 256) so "
+                        "--prediff can measure the prediff/gsrb2+prediff "
+                        "variants at 512 despite the production cap")
     p.add_argument("--roll-prim", action="store_true",
                    help="also time the pltpu.roll lane-shift variant")
     p.add_argument("--slab", action="store_true",
@@ -237,6 +244,13 @@ def main(argv=None):
     p.add_argument("--gsrb2", action="store_true",
                    help="also time the fused red+black double-sweep "
                         "kernel (radius-1 suites; stencils_r1.GSRB2)")
+    p.add_argument("--subtile", action="store_true",
+                   help="also time the sub-tiled masked fv4 kernel "
+                        "(bigger streamed windows, sub-tile-sized "
+                        "temporaries; kernels/stencils.py SUBTILE)")
+    p.add_argument("--subtile-budget-mb", type=float, default=None,
+                   help="override the subtile tile-selection VMEM "
+                        "budget (_VMEM_BUDGET_SUBTILE, default 88 MB)")
     p.add_argument("--bf16c", action="store_true",
                    help="also time the bf16-coefficient-stream GSRB "
                         "variant (fv4; kernels/stencils.py BF16C)")
@@ -264,6 +278,14 @@ def main(argv=None):
         import hpgmg_tpu.kernels.stencils as K
 
         K._VMEM_LIMIT = int(args.vmem_limit_mb * 2 ** 20)
+    if args.prediff_max_dim is not None:
+        import hpgmg_tpu.kernels.stencils as K
+
+        K.PREDIFF_MAX_DIM = args.prediff_max_dim
+    if args.subtile_budget_mb is not None:
+        import hpgmg_tpu.kernels.stencils as K
+
+        K._VMEM_BUDGET_SUBTILE = int(args.subtile_budget_mb * 2 ** 20)
     print(f"backend={jax.default_backend()} op={args.op}")
     if args.op != "fv4":
         # radius-1 family: Pallas masked kernel vs the XLA path
@@ -340,6 +362,18 @@ def main(argv=None):
                                    gsrb2=True, prediff=True)
                 line += (f" | gsrb2+prediff {t_2d * 1e6:8.1f} us "
                          f"(vs prediff {t_2d / t_d:5.2f})")
+        if args.subtile:
+            import hpgmg_tpu.kernels.stencils as K
+
+            ts = K.tile_shape_subtile(n, prediff=False)
+            t_st = time_sweeps(n, ext=False, reps=args.reps, subtile=True)
+            line += (f" | subtile{ts} {t_st * 1e6:8.1f} us "
+                     f"(subtile/masked {t_st / t_mask:5.2f})")
+            if args.prediff:
+                tsd = K.tile_shape_subtile(n, prediff=True)
+                t_std = time_sweeps(n, ext=False, reps=args.reps,
+                                    subtile=True, prediff=True)
+                line += (f" | subtile+prediff{tsd} {t_std * 1e6:8.1f} us")
         print(line)
     return 0
 

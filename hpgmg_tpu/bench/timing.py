@@ -68,15 +68,20 @@ def measure_breakdown(hier: Hierarchy, cfg: SolverConfig,
             lambda c, x, r: blas.dot(x + c, r, cfg.reduce_dtype),
             jnp.zeros((), dtype), x, r, reps=reps)
         if idx + 1 < len(hier.levels):
-            pad = (lv.dim - lv.dim // 2) // 2
-            row["restriction"] = _time_fn(
-                lambda x: jnp.pad(restrict_cell(x), ((pad, pad),) * 3)
-                * 0.5, r, reps=reps)
-            interp = get_interpolation(op.interpolation_vcycle)
-            xc = jnp.ones(hier.levels[idx + 1].shape, dtype)
-            row["interpolation"] = _time_fn(
-                lambda xc, x: 0.5 * interp(xc, 1.0, x, cfg.bc)[::2, ::2, ::2],
-                xc, x, reps=reps)
+            # time the REAL restrict->interpolate round trip chained on
+            # the fine array (shape-preserving, data-dependent) — no
+            # plumbing: an earlier version padded the coarse result back
+            # to fine shape and strided-sliced the interpolant, which at
+            # 512^3 cost far more than the ops being measured (strided
+            # lane slicing is ~100x off the roofline on TPU).
+            interp_v = get_interpolation(op.interpolation_vcycle)
+            row["transfer_v"] = _time_fn(
+                lambda x: interp_v(restrict_cell(x), 1.0, x, cfg.bc),
+                r, reps=reps)
+            interp_f = get_interpolation(op.interpolation_fcycle)
+            row["transfer_f"] = _time_fn(
+                lambda x: interp_f(restrict_cell(x), 1.0, x, cfg.bc),
+                r, reps=reps)
         else:
             row["bottom"] = _time_fn(
                 lambda x, lv, r: bottom_solve(op, lv, x, r, cfg), x, lv, r,
@@ -125,7 +130,7 @@ def fmg_timing_table(hier: Hierarchy, cfg: SolverConfig, f=None):
 def format_breakdown(rows: List[Dict[str, float]]) -> str:
     """Render the per-level x per-op table the way MGPrintTiming does
     (levels as columns, operations as rows)."""
-    ops = ["smooth", "residual", "blas1", "restriction", "interpolation",
+    ops = ["smooth", "residual", "blas1", "transfer_v", "transfer_f",
            "bottom"]
     head = "level".ljust(16) + "".join(f"{r['level']:>12d}" for r in rows)
     dims = "dim".ljust(16) + "".join(f"{r['dim']:>10d}^3" for r in rows)

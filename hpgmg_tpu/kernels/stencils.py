@@ -787,6 +787,244 @@ def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
     )(*args)
 
 
+# ---------------------------------------------------------------------------
+# sub-tiled masked kernel (SUBTILE)
+# ---------------------------------------------------------------------------
+
+# The masked kernel's HBM traffic is set by the window-overlap factor
+# (bi+4)(bj+16)/(bi*bj) for x and (bi+2)(bj+8)/(bi*bj) per coefficient:
+# at the VMEM-capped (8, 128) tile at 512^3 the x window re-fetches
+# 2.25x. What caps the tile size is NOT the streamed windows but the
+# stencil TEMPORARIES (ext blends, cd fields, face fluxes), which the
+# plain kernel materializes at full-tile extent: (16, 128)@512 needs
+# ~124 MB scoped vmem and hangs/errors the Mosaic compile.
+#
+# The sub-tiled variant decouples the two: the (bi, bj) tile is streamed
+# ONCE per launch (one big window fetch), but the stencil body runs in
+# an unrolled Python loop over si-row sub-tiles along i — the UNTILED
+# leading axis, so every sub-tile slice is a static leading-axis slice —
+# keeping all temporaries (si+4)-row-sized. (32, 64)@512 then fits:
+# x overlap 1.56x instead of 2.25x, coefficient overlap 1.34x instead
+# of 1.86x, ~20% fewer bytes per half-sweep at identical arithmetic.
+# A/B via bench/kernel_sweep.py --subtile; masked Dirichlet
+# single-chip only (the ext/slab paths have no first/last-tile masks
+# and different VMEM anatomy).
+SUBTILE = False
+SUBTILE_SI = 8
+_VMEM_BUDGET_SUBTILE = 88 * 2 ** 20
+
+
+def _vmem_bytes_subtile(n: int, bi: int, bj: int, si: int,
+                        prediff: bool = False) -> int:
+    """f32 VMEM estimate for one sub-tiled (bi, bj) tile: the same
+    double-buffered windows as ``_vmem_bytes`` plus SUB-tile-sized
+    temporaries (the whole point of the variant)."""
+    ln = -(-n // 128) * 128
+    ncoef = 9 if prediff else 3
+    win = ((bi + 4) * (bj + 16) * ln
+           + ncoef * (bi + 2) * (bj + 8) * ln
+           + 3 * bi * bj * ln)
+    tmp = (4 * (si + 4) * (bj + 16) * ln      # window-slice blend + ext
+           + 10 * (si + 4) * (bj + 8) * ln)   # cd fields / fluxes
+    return 4 * (2 * win + tmp)
+
+
+def tile_shape_subtile(n: int, prediff=None, si: int = None):
+    """(bi, bj) for the sub-tiled masked kernel: minimize streamed window
+    bytes per cell under the subtile VMEM budget. Same grid constraints
+    as ``tile_shape`` plus bi % si == 0."""
+    if prediff is None:
+        prediff = prediff_active(n)
+    if si is None:
+        si = SUBTILE_SI
+    ncoef = 9 if prediff else 3
+    best = None
+    for bj in (128, 64, 48, 32, 24, 16, 8):
+        if n % bj or n // bj < 2 or n < bj + 16:
+            continue
+        for bi in (64, 48, 32, 24, 16, 8):
+            if n % bi or n // bi < 2 or bi % si:
+                continue
+            if _vmem_bytes_subtile(n, bi, bj, si, prediff) \
+                    > _VMEM_BUDGET_SUBTILE:
+                continue
+            bytes_per_cell = ((bi + 4) * (bj + 16)
+                              + ncoef * (bi + 2) * (bj + 8)
+                              + 3 * bi * bj) / float(bi * bj)
+            key = (-bytes_per_cell, bj, bi)
+            if best is None or key > best[0]:
+                best = (key, (bi, bj))
+    return best[1] if best else None
+
+
+def _fv4_kernel_subtile(*refs, n, bi, bj, si, nti, ntj, mode, b_h2inv,
+                        a_alpha=0.0, prediff=False):
+    """Sub-tiled masked fv4 stencil body (see the SUBTILE note above).
+
+    Streams the same operand windows as ``_fv4_kernel`` at (bi, bj),
+    then computes si rows at a time: for sub-tile ``s`` covering local
+    cells [s*si, s*si+si) the window rows it needs are
+    [s*si - 2 - clip, ...) where clip is the xmap clamp (+2 on the first
+    tile, -2 on the last) — three STATIC candidate slices blended with
+    the same first/last-tile 0/1 masks ``_ext_tile_axis`` uses, so no
+    dynamic slicing at all. Each sub-tile is then an independent run of
+    the standard masked pipeline (i/j boundary extension with a VIRTUAL
+    tile index ti*nsub+s over nti*nsub, k ghosts, ``_flux_ax``) with
+    (si+4)-row temporaries."""
+    xw_ref = refs[0]
+    k = 1
+    bi_ref, bj_ref, bk_ref, bktop_ref = refs[k:k + 4]
+    k += 4
+    pd_refs = None
+    if prediff:
+        pd_refs = refs[k:k + 8]
+        k += 8
+    rhs_ref = dinv_ref = alpha_ref = None
+    if a_alpha:
+        alpha_ref = refs[k]
+        k += 1
+    if mode != "apply":
+        rhs_ref = refs[k]
+        k += 1
+    if mode == "gsrb":
+        dinv_ref = refs[k]
+        k += 1
+    out_ref = refs[k]
+
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    xw = xw_ref[...]
+    mf = (ti == 0).astype(xw.dtype)         # window clamped +2
+    ml = (ti == nti - 1).astype(xw.dtype)   # window clamped -2
+    nsub = bi // si
+    ntv = nti * nsub
+
+    # full-tile coefficient windows (j slices as in _fv4_kernel); rows
+    # are sub-sliced per sub-tile below — alignment-agnostic: a window
+    # whose rows serve cells [0, bi) serves sub-tile s at [s*si, ...)
+    # with the extent shrunk by bi - si.
+    ebi_t = bi_ref[...][:, 3:bj + 5, :]       # (bi+1, bj+2, n)
+    ebj_t = bj_ref[...][:, 4:bj + 5, :]       # (bi+2, bj+1, n)
+    ebk_t = bk_ref[...][:, 3:bj + 5, :]       # (bi+2, bj+2, n)
+    ebktop_t = bktop_ref[...][:, 3:bj + 5, :]
+    pd_t = None
+    if prediff:
+        pd_t = (pd_refs[0][...][:, 4:bj + 4, :],
+                pd_refs[1][...][:, 4:bj + 4, :],
+                pd_refs[2][...][:, 4:bj + 5, :],
+                pd_refs[3][...][:, 4:bj + 5, :],
+                pd_refs[4][...][:, 4:bj + 4, :],
+                pd_refs[5][...][:, 4:bj + 4, :],
+                pd_refs[6][...][:, 4:bj + 4, :],
+                pd_refs[7][...][:, 4:bj + 4, :])
+
+    for s in range(nsub):
+        c0 = s * si
+        # window rows for this sub-tile: interior tiles at c0, first
+        # tile at c0-2 (clamped 0), last at c0+2 (clamped bi-si)
+        w_mid = xw[c0:c0 + si + 4]
+        w_first = xw[max(c0 - 2, 0):max(c0 - 2, 0) + si + 4]
+        w_last = xw[min(c0 + 2, bi - si):min(c0 + 2, bi - si) + si + 4]
+        ws = mf * w_first + (1.0 - mf - ml) * w_mid + ml * w_last
+        tv = ti * nsub + s
+        xi = _ext_tile_axis(ws, si, tv, ntv, 0, 2)
+        xj = _ext_tile_axis(xi, bj, tj, ntj, 1, 8)   # (si+4, bj+4, n)
+        k1lo, k2lo = _v4_ghost_pair(xj, 2, lo=True)
+        k1hi, k2hi = _v4_ghost_pair(xj, 2, lo=False)
+        xglo = jnp.concatenate([k2lo, k1lo], axis=-1)
+        xghi = jnp.concatenate([k1hi, k2hi], axis=-1)
+
+        ebi = ebi_t[c0:c0 + si + 1]
+        ebj = ebj_t[c0:c0 + si + 2]
+        ebk = ebk_t[c0:c0 + si + 2]
+        ebk_top = ebktop_t[c0:c0 + si + 2]
+        pd = None
+        if prediff:
+            bi_glo = bi_ghi = bj_glo = bj_ghi = None
+            pd = (pd_t[0][c0:c0 + si + 1], pd_t[1][c0:c0 + si + 1],
+                  pd_t[2][c0:c0 + si], pd_t[3][c0:c0 + si],
+                  pd_t[4][c0:c0 + si], pd_t[5][c0:c0 + si],
+                  pd_t[6][c0:c0 + si], pd_t[7][c0:c0 + si])
+        else:
+            bi_glo = _quintic_ghost(ebi, 2, lo=True)
+            bi_ghi = _quintic_ghost(ebi, 2, lo=False)
+            bj_glo = _quintic_ghost(ebj, 2, lo=True)
+            bj_ghi = _quintic_ghost(ebj, 2, lo=False)
+
+        ax = (-b_h2inv / 12.0) * _flux_ax(
+            xj, xglo, xghi, ebi, bi_glo, bi_ghi, ebj, bj_glo, bj_ghi,
+            ebk, ebk_top, si, bj, pd=pd)
+        if a_alpha:
+            ax = ax + (a_alpha * alpha_ref[c0:c0 + si]
+                       * xj[2:2 + si, 2:2 + bj, :])
+        if mode == "apply":
+            out_ref[c0:c0 + si] = ax
+        elif mode == "residual":
+            out_ref[c0:c0 + si] = rhs_ref[c0:c0 + si] - ax
+        else:
+            cc = xj[2:2 + si, 2:2 + bj, :]
+            out_ref[c0:c0 + si] = cc + dinv_ref[c0:c0 + si] * (
+                rhs_ref[c0:c0 + si] - ax)
+
+
+def _fv4_call_subtile(level: Level, x, rhs, dinv, cfg: SolverConfig,
+                      mode: str):
+    """Launch the sub-tiled masked kernel (same operand plumbing as
+    ``_fv4_call`` minus the BF16C path)."""
+    n = level.dim
+    prediff = getattr(level, "kgd", None) is not None
+    bi, bj = tile_shape_subtile(n, prediff)
+    si = SUBTILE_SI
+    nti, ntj = n // bi, n // bj
+    a_alpha = cfg.a if cfg.helmholtz else 0.0
+    kernel = functools.partial(
+        _fv4_kernel_subtile, n=n, bi=bi, bj=bj, si=si, nti=nti, ntj=ntj,
+        mode=mode, b_h2inv=cfg.b * level.h2inv, a_alpha=a_alpha,
+        prediff=prediff)
+
+    E = pl.Element
+
+    def xmap(ti, tj):
+        return (jnp.clip(ti * bi - 2, 0, n - bi - 4),
+                8 * jnp.clip(tj * (bj // 8) - 1, 0, (n - bj - 16) // 8), 0)
+
+    def bmap2(ti, tj):
+        return (ti * bi + 2, tj * bj, 0)
+
+    in_specs = [
+        pl.BlockSpec((E(bi + 4), E(bj + 16), E(n)), xmap),
+        pl.BlockSpec((E(bi + 1), E(bj + 8), E(n)), bmap2),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(n)), bmap2),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(n)), bmap2),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(1)), bmap2),
+    ]
+    args = [x, level.kbi, level.kbj, level.kbk, level.kbk_top]
+    if prediff:
+        in_specs += _prediff_specs(bi, bj, n, bmap2)
+        args += list(level.kgd)
+    tile_spec = pl.BlockSpec((bi, bj, n), lambda ti, tj: (ti, tj, 0))
+    if a_alpha:
+        in_specs.append(tile_spec)
+        args.append(level.alpha)
+    if mode != "apply":
+        in_specs.append(tile_spec)
+        args.append(rhs)
+    if mode == "gsrb":
+        in_specs.append(tile_spec)
+        args.append(dinv)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nti, ntj),
+        in_specs=in_specs,
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct(level.shape, x.dtype),
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=INTERPRET,
+    )(*args)
+
+
 def tile_shape_local(ni: int, nj: int, nk: int, prediff: bool = False):
     """(bi, bj) for a PER-SHARD (ni, nj, nk) block in ext mode. Looser than
     ``tile_shape``: no >= 2-tile minimum (the first/last-tile masks are
@@ -1049,6 +1287,11 @@ SINGLE_EXT = False
 def _single_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
     if cfg.bc == BC.PERIODIC or SINGLE_EXT:
         return _fv4_call_single_ext(level, x, rhs, dinv, cfg, mode)
+    if (SUBTILE and getattr(level, "kb16", None) is None
+            and tile_shape_subtile(
+                level.dim, getattr(level, "kgd", None) is not None)
+            is not None):
+        return _fv4_call_subtile(level, x, rhs, dinv, cfg, mode)
     return _fv4_call(level, x, rhs, dinv, cfg, mode)
 
 
@@ -1134,10 +1377,19 @@ def kernel_beta_views(beta_i_ext, beta_j_ext, beta_k_ext):
 # zeros where out of domain — read only at discarded ring positions).
 # Masked Dirichlet single-chip only (a periodic wrap ghost needs the
 # opposite domain face's red iterate — not local to any tile).
-# Default OFF until the on-chip whole-solve A/B (the MXU_JDIFF/BF16C
-# discipline); force via bench/kernel_sweep.py --gsrb2 / ab_test.
-GSRB2_FV4 = False
-GSRB2_FV4_MAX_DIM = 512
+# Default ON for dims <= 256 after the on-chip A/B (docs/GSRB2_FV4_r04.md,
+# us per half-sweep-equivalent vs the masked half-sweep kernel):
+#   n=128: gsrb2 0.93x; gsrb2+PREDIFF 231.0 us vs prediff-only 245.8
+#          (0.71x vs masked 323.9 combined);
+#   n=256: gsrb2 alone 1.02x, but gsrb2+PREDIFF 1440.0 us vs prediff-only
+#          1804.3 = 0.79x vs masked 1818.8 — the stream halving and the
+#          prediff op reduction compose superadditively;
+#   n=512: gsrb2 1.10x SLOWER (60 MB budget; 1.12x at 85 MB) — the ring
+#          recompute + ghost re-synthesis ops dominate in the big-tile
+#          HBM-bound regime, so the cap matches PREDIFF_MAX_DIM.
+# Whole-solve parity on chip: docs/AB_r04.txt (pallas-gsrb2 == xla).
+GSRB2_FV4 = True
+GSRB2_FV4_MAX_DIM = 256
 
 
 def _vmem_bytes_gsrb2_fv4(n: int, bi: int, bj: int,

@@ -120,3 +120,34 @@ def test_kernel_sweep_budget_512_independent(monkeypatch):
             "--budget-mb", "28", "--budget-512-mb", "55"])
     assert stencils._VMEM_BUDGET == int(28 * 2 ** 20)
     assert stencils._VMEM_BUDGET_512 == int(55 * 2 ** 20)
+
+
+def test_kernel_sweep_prediff_max_dim_flag(monkeypatch):
+    """--prediff-max-dim lifts the production cap so --prediff variants
+    are measurable at 512 (gsrb2+prediff A/B, docs/GSRB2_FV4_r04.md)."""
+    from hpgmg_tpu.bench import kernel_sweep as S
+
+    monkeypatch.setattr(S, "time_sweeps", lambda n, **kw: 1e-3)
+    monkeypatch.setattr(stencils, "PREDIFF_MAX_DIM",
+                        stencils.PREDIFF_MAX_DIM)
+    S.main(["--sizes", "512", "--reps", "1", "--prediff-max-dim", "512"])
+    assert stencils.PREDIFF_MAX_DIM == 512
+
+
+def test_measure_breakdown_rows():
+    """The per-level breakdown times the REAL restrict->interp round
+    trips (transfer_v / transfer_f) — an earlier version padded and
+    strided-sliced to keep carry shapes, which at 512^3 cost more than
+    the ops being measured."""
+    from hpgmg_tpu.bench.driver import _build
+    from hpgmg_tpu.bench.timing import format_breakdown, measure_breakdown
+    from hpgmg_tpu.core.config import SolverConfig
+
+    cfg = SolverConfig(op="fv4")
+    hier, _ = _build(16, cfg)
+    rows = measure_breakdown(hier, cfg, reps=1)
+    assert {"smooth", "residual", "blas1", "transfer_v",
+            "transfer_f"} <= set(rows[0])
+    assert "bottom" in rows[-1]
+    table = format_breakdown(rows)
+    assert "transfer_v" in table and "transfer_f" in table

@@ -357,3 +357,34 @@ def test_bf16c_gsrb_close_to_f32():
     assert err < 5e-3, err  # bf16 coefficient rounding, not a bug
     # and the f32 path is genuinely different data (sanity of the A/B)
     assert err > 0.0
+
+
+@pytest.mark.parametrize("prediff", [False, True])
+def test_fv4_subtile_matches_xla(setup, monkeypatch, prediff):
+    """Sub-tiled masked kernel (SUBTILE) vs the XLA path for all three
+    modes. Forced (24, 16) tiles with si=8: 2 i-tiles x 3 sub-tiles
+    exercise the domain-first / interior / domain-last VIRTUAL sub-tile
+    branches (including the window-clip compensation on the first/last
+    tiles), 3 j-tiles the interior-j branch."""
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    import dataclasses as dc
+    if not prediff:
+        lv = dc.replace(lv, kgd=None)
+    else:
+        assert lv.kgd is not None
+    monkeypatch.setattr(K, "SUBTILE", True)
+    monkeypatch.setattr(K, "tile_shape_subtile",
+                        lambda n, prediff=None, si=None: (24, 16))
+    xc = dataclasses_xla(cfg)
+    ax = op.apply_op(lv, x, xc)
+    out = K.fv4_apply_pallas(lv, x, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ax),
+                               rtol=1e-12, atol=1e-10)
+    out_r = K.fv4_residual_pallas(lv, x, prob.f, cfg)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(prob.f - ax),
+                               rtol=1e-12, atol=1e-10)
+    ref_g = x + rb_mask(48, 1, x.dtype) * lv.dinv * (prob.f - ax)
+    out_g = K.fv4_gsrb_sweep_pallas(lv, x, prob.f, cfg, 1)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g),
+                               rtol=1e-12, atol=1e-12)
