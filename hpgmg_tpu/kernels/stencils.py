@@ -610,6 +610,10 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
     if mode == "gsrb":
         dinv_ref = refs[k]
         k += 1
+    rk_ref = None
+    if mode == "fres":
+        rk_ref = refs[k]
+        k += 1
     out_ref = refs[k]
 
     ti = pl.program_id(0)
@@ -683,6 +687,15 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
         return
     if mode == "residual":
         out_ref[...] = rhs_ref[...] - ax
+        return
+    if mode == "fres":
+        # fused restriction (restriction.c:104 fed by residual.c:9-51):
+        # halve i (free leading-dim pair sum) and k (lane matmul on the
+        # idle MXU) in-kernel; the j halving runs outside at 1/4 data
+        # (kernels/restrict.py)
+        from hpgmg_tpu.kernels.restrict import restrict_halve_ik
+
+        out_ref[...] = restrict_halve_ik(rhs_ref[...] - ax, rk_ref[...])
         return
 
     # GSRB masked update: the red/black mask is pre-folded into the
@@ -774,13 +787,22 @@ def _fv4_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str):
     if mode == "gsrb":
         in_specs.append(tile_spec)
         args.append(dinv)
+    out_spec, out_shape = tile_spec, level.shape
+    if mode == "fres":
+        from hpgmg_tpu.kernels.restrict import restrict_matrix_k
+
+        in_specs.append(pl.BlockSpec((n, n // 2), lambda ti, tj: (0, 0)))
+        args.append(restrict_matrix_k(n, x.dtype, 0.25))
+        out_spec = pl.BlockSpec((bi // 2, bj, n // 2),
+                                lambda ti, tj: (ti, tj, 0))
+        out_shape = (n // 2, n, n // 2)
 
     return pl.pallas_call(
         kernel,
         grid=(nti, ntj),
         in_specs=in_specs,
-        out_specs=tile_spec,
-        out_shape=jax.ShapeDtypeStruct(level.shape, x.dtype),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         compiler_params=None if INTERPRET else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=INTERPRET,
@@ -1301,6 +1323,18 @@ def fv4_apply_pallas(level: Level, x, cfg: SolverConfig):
 
 def fv4_residual_pallas(level: Level, x, rhs, cfg: SolverConfig):
     return _single_call(level, x, rhs, None, cfg, "residual")
+
+
+def fv4_restrict_residual_pallas(level: Level, x, rhs, cfg: SolverConfig):
+    """Fused restrict(residual(...)): the stencil kernel halves i and k
+    in-kernel (mode='fres', never materializing the fine residual), the
+    remaining j halving is one einsum at 1/4 data (kernels/restrict.py).
+    Masked Dirichlet path only (the suite gates periodic/SINGLE_EXT/
+    sharded to the unfused pair). Matches restriction.c:104 applied to
+    residual.c:9-51's output."""
+    from hpgmg_tpu.kernels.restrict import restrict_j_einsum
+
+    return restrict_j_einsum(_fv4_call(level, x, rhs, None, cfg, "fres"))
 
 
 def fv4_gsrb_sweep_pallas(level: Level, x, rhs, cfg: SolverConfig,

@@ -53,6 +53,13 @@ class OperatorSuite:
         views are dead weight — see core/hierarchy.py:slim_hierarchy)."""
         return False
 
+    def restrict_residual(self, level: Level, x, rhs, cfg: SolverConfig):
+        """Fused restrict(residual(...)) — the V-cycle's back-to-back pair
+        (residual.c:9-51 feeding restriction.c:104) — or None when no
+        fused fast path serves this level (the caller then runs the two
+        phases separately)."""
+        return None
+
 
 class RadiusOneKernelMixin:
     """Shared Pallas fast-path wiring for the radius-1 suites

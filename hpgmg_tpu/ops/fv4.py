@@ -182,6 +182,21 @@ class FV4(base.OperatorSuite):
             x = fv4_gsrb_sweep_pallas(level, x, rhs, cfg, s & 1)
         return x
 
+    def restrict_residual(self, level: Level, x, rhs, cfg: SolverConfig):
+        """Fused residual+restriction through the masked Dirichlet kernel
+        (mode='fres'); None routes the caller to the separate phases
+        (sharded levels, periodic/ext mode, XLA path)."""
+        import hpgmg_tpu.kernels.stencils as K
+        from hpgmg_tpu.kernels.restrict import FUSED_RESTRICT
+
+        if not FUSED_RESTRICT:
+            return None
+        if cfg.bc == BC.PERIODIC or K.SINGLE_EXT or K.SUBTILE:
+            return None
+        if not K.use_pallas(cfg, level, x):
+            return None
+        return K.fv4_restrict_residual_pallas(level, x, rhs, cfg)
+
     def residual(self, level: Level, x, rhs, cfg: SolverConfig):
         from hpgmg_tpu.kernels.stencils import (fv4_residual_pallas,
                                                 use_pallas)

@@ -23,6 +23,7 @@ from hpgmg_tpu.core.config import BC, SolverConfig
 from hpgmg_tpu.core.hierarchy import Hierarchy
 from hpgmg_tpu.core.level import Level
 from hpgmg_tpu.ops.base import OperatorSuite, get_suite
+from hpgmg_tpu.kernels.restrict import restrict_cell_auto, use_pallas_restrict
 from hpgmg_tpu.ops.transfer import get_interpolation, restrict_cell
 from hpgmg_tpu.parallel.mesh import maybe_constrain
 from hpgmg_tpu.solve.bottom import bottom_solve
@@ -55,8 +56,9 @@ def _phase_jit(name: str, variant: str = ""):
                        op.residual(level, e, rhs, cfg),
                        static_argnums=(0, 4))
     if name == "restriction":
-        return jax.jit(lambda dim, t: maybe_constrain(dim, restrict_cell(t)),
-                       static_argnums=(0,))
+        fast = variant == "fast"
+        return jax.jit(lambda dim, t: maybe_constrain(
+            dim, restrict_cell_auto(t, fast)), static_argnums=(0,))
     if name in ("interpolation", "interpolation_f"):
         interp = get_interpolation(variant)
         prescale = 1.0 if name == "interpolation" else 0.0
@@ -109,15 +111,27 @@ def vcycle(op: OperatorSuite, levels: List[Level], lev: int, e, rhs,
     e = _phase(timers, lev, "smooth",
                lambda: smooth(op, level, e, rhs, cfg),
                args=(op, level, e, rhs, cfg))
-    t = _phase(timers, lev, "residual",
-               lambda: op.residual(level, e, rhs, cfg),
-               args=(op, level, e, rhs, cfg))
-    # place the coarse rhs on the coarse level's mesh footprint (sharded
-    # or replicated — the agglomeration decision, parallel/mesh.py)
-    rhs_c = _phase(timers, lev, "restriction",
-                   lambda: maybe_constrain(levels[lev + 1].dim,
-                                           restrict_cell(t)),
-                   args=(levels[lev + 1].dim, t))
+    # residual + restriction: fused into one kernel pass when the suite
+    # serves it (traced mode; the timed mode keeps the phases itemized —
+    # its restriction program still runs the production kernel variant)
+    fused = None
+    if timers is None:
+        with scope(f"mg.L{lev}.res+restrict"):
+            fused = op.restrict_residual(level, e, rhs, cfg)
+    if fused is not None:
+        # place the coarse rhs on the coarse level's mesh footprint
+        # (sharded or replicated — the agglomeration decision)
+        rhs_c = maybe_constrain(levels[lev + 1].dim, fused)
+    else:
+        t = _phase(timers, lev, "residual",
+                   lambda: op.residual(level, e, rhs, cfg),
+                   args=(op, level, e, rhs, cfg))
+        rfast = use_pallas_restrict(cfg, level)
+        rhs_c = _phase(timers, lev, "restriction",
+                       lambda: maybe_constrain(levels[lev + 1].dim,
+                                               restrict_cell_auto(t, rfast)),
+                       args=(levels[lev + 1].dim, t),
+                       variant="fast" if rfast else "")
     e_c = jnp.zeros_like(rhs_c)
     e_c = vcycle(op, levels, lev + 1, e_c, rhs_c, cfg, timers)
     interp = get_interpolation(op.interpolation_vcycle)
@@ -205,10 +219,13 @@ def fmg_solve(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
     msm = _must_subtract_mean(cfg)
     for lev in range(len(levels) - 1):
         t = rhs[-1]
+        rfast = use_pallas_restrict(cfg, levels[lev])
         rhs.append(_phase(timers, lev, "restriction",
-                          lambda lev=lev, t=t: maybe_constrain(
-                              levels[lev + 1].dim, restrict_cell(t)),
-                          args=(levels[lev + 1].dim, t)))
+                          lambda lev=lev, t=t, rfast=rfast: maybe_constrain(
+                              levels[lev + 1].dim,
+                              restrict_cell_auto(t, rfast)),
+                          args=(levels[lev + 1].dim, t),
+                          variant="fast" if rfast else ""))
 
     # coarsest-grid solve (mg.c:1283-1287)
     bot = len(levels) - 1

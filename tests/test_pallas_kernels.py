@@ -388,3 +388,92 @@ def test_fv4_subtile_matches_xla(setup, monkeypatch, prediff):
     out_g = K.fv4_gsrb_sweep_pallas(lv, x, prob.f, cfg, 1)
     np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_restrict_ik_pallas_matches_einsum():
+    """Standalone restriction kernel (kernels/restrict.py): fused i+k
+    halvings + the outside j einsum == the 3-einsum restrict_cell."""
+    from hpgmg_tpu.kernels import restrict as R
+    from hpgmg_tpu.ops.transfer import restrict_cell
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((64, 64, 64)))
+    out = R.restrict_j_einsum(R.restrict_ik_pallas(x))
+    assert out.shape == (32, 32, 32)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(restrict_cell(x)),
+                               rtol=1e-13, atol=1e-13)
+    # dispatch helper: fast == slow
+    np.testing.assert_allclose(np.asarray(R.restrict_cell_auto(x, True)),
+                               np.asarray(R.restrict_cell_auto(x, False)),
+                               rtol=1e-13, atol=1e-13)
+
+
+@pytest.fixture()
+def fused_restrict_on():
+    from hpgmg_tpu.kernels import restrict as R
+
+    old = R.FUSED_RESTRICT
+    R.FUSED_RESTRICT = True
+    yield R
+    R.FUSED_RESTRICT = old
+
+
+def test_use_pallas_restrict_gates(setup, fused_restrict_on):
+    """The restriction-kernel gate: size floor, sharded and xla opt-outs."""
+    import dataclasses as dc
+
+    R = fused_restrict_on
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]  # dim 48 < the 64 auto floor
+    assert not R.use_pallas_restrict(cfg, lv)
+    lv64 = dc.replace(lv, dim=64)
+    assert R.use_pallas_restrict(cfg, lv64)  # INTERPRET on via fixture
+    assert not R.use_pallas_restrict(dc.replace(cfg, kernels="xla"), lv64)
+    assert not R.use_pallas_restrict(cfg, dc.replace(lv64, ksharded=True))
+    R.FUSED_RESTRICT = False
+    assert not R.use_pallas_restrict(cfg, lv64)
+
+
+@pytest.mark.parametrize("prediff", [False, True])
+def test_fused_restrict_residual_matches_pair(setup, fused_restrict_on,
+                                              prediff):
+    """mode='fres' (fused residual+restriction) == restrict_cell of the
+    XLA residual, with and without the PREDIFF operands."""
+    import dataclasses as dc
+
+    from hpgmg_tpu.ops.transfer import restrict_cell
+
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    if not prediff:
+        lv = dc.replace(lv, kgd=None)
+    else:
+        assert lv.kgd is not None
+    pcfg = dc.replace(cfg, kernels="pallas")  # lift the 64^3 auto floor
+    ref = restrict_cell(prob.f - op.apply_op(lv, x, dataclasses_xla(cfg)))
+    out = op.restrict_residual(lv, x, prob.f, pcfg)
+    assert out is not None and out.shape == (24, 24, 24)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+    # the unfused combination agrees too (vcycle fallback path)
+    unfused = restrict_cell(K.fv4_residual_pallas(lv, x, prob.f, pcfg))
+    np.testing.assert_allclose(np.asarray(unfused), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_fused_restrict_residual_gates(setup, fused_restrict_on):
+    """restrict_residual returns None off the masked Dirichlet kernel
+    path (xla mode, flag off) so vcycle runs the separate phases."""
+    import dataclasses as dc
+
+    R = fused_restrict_on
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    assert op.restrict_residual(lv, x, prob.f,
+                                dc.replace(cfg, kernels="xla")) is None
+    # auto floor: 48 < 64
+    assert op.restrict_residual(lv, x, prob.f, cfg) is None
+    R.FUSED_RESTRICT = False
+    assert op.restrict_residual(
+        lv, x, prob.f, dc.replace(cfg, kernels="pallas")) is None
