@@ -398,6 +398,10 @@ def _r1_kernel(*refs, n, bi, bj, nti, ntj, mode, suite, taps, b_h2inv,
     if mode == "gsrb":
         dinv_ref = refs[k]
         k += 1
+    rk_ref = None
+    if mode == "fres":
+        rk_ref = refs[k]
+        k += 1
     out_ref = refs[k]
 
     ti = pl.program_id(0)
@@ -482,6 +486,13 @@ def _r1_kernel(*refs, n, bi, bj, nti, ntj, mode, suite, taps, b_h2inv,
         return
     if mode == "residual":
         out_ref[...] = rhs_ref[...] - ax
+        return
+    if mode == "fres":
+        # fused restriction of the residual (kernels/restrict.py): i+k
+        # halved in-kernel, j halved outside at 1/4 data
+        from hpgmg_tpu.kernels.restrict import restrict_halve_ik
+
+        out_ref[...] = restrict_halve_ik(rhs_ref[...] - ax, rk_ref[...])
         return
     out_ref[...] = c + dinv_ref[...] * (rhs_ref[...] - ax)
 
@@ -1083,13 +1094,22 @@ def _r1_call(level: Level, x, rhs, dinv, cfg: SolverConfig, mode: str,
     if mode == "gsrb":
         in_specs.append(tile_spec)
         args.append(dinv)
+    out_spec, out_shape = tile_spec, level.shape
+    if mode == "fres":
+        from hpgmg_tpu.kernels.restrict import restrict_matrix_k
+
+        in_specs.append(pl.BlockSpec((n, n // 2), lambda ti, tj: (0, 0)))
+        args.append(restrict_matrix_k(n, x.dtype, 0.25))
+        out_spec = pl.BlockSpec((bi // 2, bj, n // 2),
+                                lambda ti, tj: (ti, tj, 0))
+        out_shape = (n // 2, n, n // 2)
 
     return pl.pallas_call(
         kernel,
         grid=(nti, ntj),
         in_specs=in_specs,
-        out_specs=tile_spec,
-        out_shape=jax.ShapeDtypeStruct(level.shape, x.dtype),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         compiler_params=None if _s.INTERPRET else pltpu.CompilerParams(
             vmem_limit_bytes=_s._VMEM_LIMIT),
         interpret=_s.INTERPRET,
@@ -1118,3 +1138,14 @@ def r1_gsrb_sweep_pallas(level: Level, x, rhs, cfg: SolverConfig,
     """One GSRB half-sweep, ghost fill fused into the stencil kernel."""
     return _r1_call(level, x, rhs, level.kdinv[parity & 1], cfg, "gsrb",
                     taps_key)
+
+
+def r1_restrict_residual_pallas(level: Level, x, rhs, cfg: SolverConfig,
+                                taps_key: str):
+    """Fused restrict(residual(...)) — masked Dirichlet path only (the
+    mixin gates periodic/sharded to the unfused pair). See
+    stencils.fv4_restrict_residual_pallas."""
+    from hpgmg_tpu.kernels.restrict import restrict_j_einsum
+
+    return restrict_j_einsum(_r1_call(level, x, rhs, None, cfg, "fres",
+                                      taps_key))

@@ -15,7 +15,7 @@ from typing import Callable, Dict
 
 import jax
 
-from hpgmg_tpu.core.config import SolverConfig
+from hpgmg_tpu.core.config import BC, SolverConfig
 from hpgmg_tpu.core.level import Level
 
 
@@ -107,6 +107,21 @@ class RadiusOneKernelMixin:
             return r1_sharded(mesh, level, x, rhs, cfg, "residual",
                               self.taps_key)
         return rhs - self.apply_op(level, x, cfg)
+
+    def restrict_residual(self, level: Level, x, rhs, cfg: SolverConfig):
+        """Fused residual+restriction through the masked Dirichlet
+        radius-1 kernel (mode='fres'); None routes the caller to the
+        separate phases (sharded/periodic/XLA paths)."""
+        from hpgmg_tpu.kernels.restrict import FUSED_RESTRICT
+        from hpgmg_tpu.kernels.stencils_r1 import (
+            r1_restrict_residual_pallas, use_pallas_r1)
+
+        if not FUSED_RESTRICT or cfg.bc == BC.PERIODIC:
+            return None
+        if not use_pallas_r1(cfg, level):
+            return None
+        return r1_restrict_residual_pallas(level, x, rhs, cfg,
+                                           self.taps_key)
 
     def gsrb_sweep(self, level: Level, x, rhs, cfg: SolverConfig,
                    nsweeps: int):

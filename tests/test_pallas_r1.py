@@ -326,3 +326,27 @@ def test_slab_call_periodic_matches_xla():
     ref = op.apply_op(lv, x, xla_cfg(cfg))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-10)
+
+
+def test_fused_restrict_residual_matches_pair(setup):
+    """mode='fres' (fused residual+restriction, kernels/restrict.py) ==
+    restrict_cell of the XLA residual, for all three radius-1 suites."""
+    from hpgmg_tpu.kernels import restrict as R
+    from hpgmg_tpu.ops.transfer import restrict_cell
+
+    cfg, prob, hier, op, x = setup
+    lv = hier.levels[0]
+    pcfg = dataclasses.replace(cfg, kernels="pallas")  # lift the 64 floor
+    ref = restrict_cell(prob.f - op.apply_op(lv, x, xla_cfg(cfg)))
+    old = R.FUSED_RESTRICT
+    R.FUSED_RESTRICT = True
+    try:
+        out = op.restrict_residual(lv, x, prob.f, pcfg)
+    finally:
+        R.FUSED_RESTRICT = old
+    assert out is not None and out.shape == (24, 24, 24)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+    # flag off / xla mode: the fused path declines
+    assert op.restrict_residual(lv, x, prob.f, pcfg) is None
+    assert op.restrict_residual(lv, x, prob.f, xla_cfg(cfg)) is None
