@@ -1,0 +1,89 @@
+"""On-hardware A/B for the restriction kernels (kernels/restrict.py).
+
+Three comparisons per size, each timed as K data-dependent chained
+iterations inside one jitted program (bench/timing.py discipline —
+per-launch timing lies through the axon tunnel):
+
+  transfer:  interp_v2(restrict(x)) += x  with the einsum restriction vs
+             the Pallas i+k kernel + j einsum (restrict_cell_auto fast)
+  pair:      smooth-free V-cycle segment residual -> restrict -> interp
+             with the separate phases vs the fused mode='fres' kernel
+
+The chained op is shape-preserving (fine -> coarse -> fine) so the
+carry threads; the interpolation is common to both arms, so the delta
+is the restriction/residual part. Decision feeds
+kernels/restrict.py:FUSED_RESTRICT (docs/RESTRICT_r04.md).
+
+Reference anatomy being fused: operators/residual.c:9-51 feeding
+restriction.c:104 inside mg.c:1135's V-cycle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", type=int, nargs="+", default=[128, 256, 512])
+    p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--op", default="fv4")
+    args = p.parse_args(argv)
+
+    import hpgmg_tpu.kernels.restrict as R
+    from hpgmg_tpu.bench.driver import _build
+    from hpgmg_tpu.bench.timing import _time_fn
+    from hpgmg_tpu.core.config import SolverConfig
+    from hpgmg_tpu.ops.base import get_suite
+    from hpgmg_tpu.ops.transfer import get_interpolation, restrict_cell
+
+    print(f"backend={jax.default_backend()} op={args.op}")
+    op = get_suite(args.op)
+    interp = get_interpolation(op.interpolation_vcycle)
+
+    for n in args.sizes:
+        cfg = SolverConfig(op=args.op)
+        hier, f = _build(n, cfg)
+        lv = hier.levels[0]
+        x = jnp.zeros(lv.shape, lv.dtype)
+        bc = cfg.bc
+
+        def t_transfer(fast):
+            return _time_fn(
+                lambda c: interp(R.restrict_cell_auto(c, fast), 1.0, c, bc),
+                x, reps=args.reps)
+
+        def t_pair(fused):
+            if fused:
+                def fn(c):
+                    rr = op.restrict_residual(lv, c, f, cfg)
+                    assert rr is not None, "fres path refused (gates)"
+                    return interp(rr, 1.0, c, bc)
+            else:
+                def fn(c):
+                    t = op.residual(lv, c, f, cfg)
+                    return interp(restrict_cell(t), 1.0, c, bc)
+            return _time_fn(fn, x, reps=args.reps)
+
+        old = R.FUSED_RESTRICT
+        try:
+            R.FUSED_RESTRICT = True
+            tr_fast = t_transfer(True)
+            pair_fused = t_pair(True)
+        finally:
+            R.FUSED_RESTRICT = old
+        tr_slow = t_transfer(False)
+        pair_sep = t_pair(False)
+        print(f"n={n:4d} transfer_v einsum {tr_slow*1e6:9.1f} us | "
+              f"kernel {tr_fast*1e6:9.1f} us (ratio {tr_fast/tr_slow:5.2f})"
+              f" | res+restr sep {pair_sep*1e6:9.1f} us | "
+              f"fres {pair_fused*1e6:9.1f} us "
+              f"(ratio {pair_fused/pair_sep:5.2f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -151,3 +151,14 @@ def test_measure_breakdown_rows():
     assert "bottom" in rows[-1]
     table = format_breakdown(rows)
     assert "transfer_v" in table and "transfer_f" in table
+
+
+def test_restrict_sweep_smoke(capsys):
+    """restrict_sweep drives both arms of both A/Bs (einsum vs kernel
+    restriction; separate vs fused residual+restrict) in interpret mode.
+    n=64 so the fres gates pass under the auto floor."""
+    from hpgmg_tpu.bench.restrict_sweep import main
+
+    main(["--sizes", "64", "--reps", "1"])
+    out = capsys.readouterr().out
+    assert "fres" in out and "transfer_v" in out
