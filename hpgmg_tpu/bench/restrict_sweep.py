@@ -21,10 +21,27 @@ restriction.c:104 inside mg.c:1135's V-cycle.
 from __future__ import annotations
 
 import argparse
-import time
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+
+def restrict_pool(x):
+    """restrict_cell via reduce_window (the TPU pooling emitter):
+    2x2x2 stride-2 mean — measured as an XLA-native candidate."""
+    s = lax.reduce_window(x, jnp.zeros((), x.dtype), lax.add,
+                          (2, 2, 2), (2, 2, 2), "VALID")
+    return s * jnp.asarray(0.125, x.dtype)
+
+
+def restrict_conv(x):
+    """restrict_cell via a stride-2 single-channel 3D conv (MXU conv
+    emitter candidate)."""
+    w = jnp.full((1, 1, 2, 2, 2), 0.125, x.dtype)
+    return lax.conv_general_dilated(
+        x[None, None], w, window_strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))[0, 0]
 
 
 def main(argv=None):
@@ -69,6 +86,14 @@ def main(argv=None):
                     return interp(restrict_cell(t), 1.0, c, bc)
             return _time_fn(fn, x, reps=args.reps)
 
+        def t_variant(fn):
+            try:
+                return _time_fn(lambda c: interp(fn(c), 1.0, c, bc),
+                                x, reps=args.reps)
+            except Exception as e:  # e.g. a conv emitter refusing 3D
+                print(f"  variant failed: {type(e).__name__}: {e}")
+                return float("nan")
+
         old = R.FUSED_RESTRICT
         try:
             R.FUSED_RESTRICT = True
@@ -78,8 +103,11 @@ def main(argv=None):
             R.FUSED_RESTRICT = old
         tr_slow = t_transfer(False)
         pair_sep = t_pair(False)
+        tr_pool = t_variant(restrict_pool)
+        tr_conv = t_variant(restrict_conv)
         print(f"n={n:4d} transfer_v einsum {tr_slow*1e6:9.1f} us | "
               f"kernel {tr_fast*1e6:9.1f} us (ratio {tr_fast/tr_slow:5.2f})"
+              f" | pool {tr_pool*1e6:9.1f} us | conv {tr_conv*1e6:9.1f} us"
               f" | res+restr sep {pair_sep*1e6:9.1f} us | "
               f"fres {pair_fused*1e6:9.1f} us "
               f"(ratio {pair_fused/pair_sep:5.2f})")
