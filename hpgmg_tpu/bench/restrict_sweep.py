@@ -27,14 +27,6 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def restrict_pool(x):
-    """restrict_cell via reduce_window (the TPU pooling emitter):
-    2x2x2 stride-2 mean — measured as an XLA-native candidate."""
-    s = lax.reduce_window(x, jnp.zeros((), x.dtype), lax.add,
-                          (2, 2, 2), (2, 2, 2), "VALID")
-    return s * jnp.asarray(0.125, x.dtype)
-
-
 def restrict_conv(x):
     """restrict_cell via a stride-2 single-channel 3D conv (MXU conv
     emitter candidate)."""
@@ -52,11 +44,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import hpgmg_tpu.kernels.restrict as R
+    import hpgmg_tpu.ops.transfer as T
     from hpgmg_tpu.bench.driver import _build
     from hpgmg_tpu.bench.timing import _time_fn
     from hpgmg_tpu.core.config import SolverConfig
     from hpgmg_tpu.ops.base import get_suite
-    from hpgmg_tpu.ops.transfer import get_interpolation, restrict_cell
+    from hpgmg_tpu.ops.transfer import (get_interpolation, restrict_cell,
+                                        restrict_pool)
 
     print(f"backend={jax.default_backend()} op={args.op}")
     op = get_suite(args.op)
@@ -74,17 +68,21 @@ def main(argv=None):
                 lambda c: interp(R.restrict_cell_auto(c, fast), 1.0, c, bc),
                 x, reps=args.reps)
 
-        def t_pair(fused):
-            if fused:
-                def fn(c):
+        def t_pair(mode):
+            # lv/f ride as traced args (closure constants become XLA
+            # literals; at 256^3+ the inlined level views overflow the
+            # remote-compile request limit — HTTP 413)
+            if mode == "fres":
+                def fn(c, lv, f):
                     rr = op.restrict_residual(lv, c, f, cfg)
                     assert rr is not None, "fres path refused (gates)"
                     return interp(rr, 1.0, c, bc)
             else:
-                def fn(c):
+                rfn = restrict_pool if mode == "pool" else restrict_cell
+                def fn(c, lv, f):
                     t = op.residual(lv, c, f, cfg)
-                    return interp(restrict_cell(t), 1.0, c, bc)
-            return _time_fn(fn, x, reps=args.reps)
+                    return interp(rfn(t), 1.0, c, bc)
+            return _time_fn(fn, x, lv, f, reps=args.reps)
 
         def t_variant(fn):
             try:
@@ -94,21 +92,28 @@ def main(argv=None):
                 print(f"  variant failed: {type(e).__name__}: {e}")
                 return float("nan")
 
-        old = R.FUSED_RESTRICT
+        old, oldp = R.FUSED_RESTRICT, T.RESTRICT_POOL
         try:
             R.FUSED_RESTRICT = True
             tr_fast = t_transfer(True)
-            pair_fused = t_pair(True)
+            pair_fused = t_pair("fres")
+            # einsum baselines: pool auto-dispatch off
+            R.FUSED_RESTRICT, T.RESTRICT_POOL = False, False
+            tr_slow = t_transfer(False)
+            pair_sep = t_pair("einsum")
         finally:
-            R.FUSED_RESTRICT = old
-        tr_slow = t_transfer(False)
-        pair_sep = t_pair(False)
+            R.FUSED_RESTRICT, T.RESTRICT_POOL = old, oldp
+        pair_pool = t_pair("pool")
         tr_pool = t_variant(restrict_pool)
-        tr_conv = t_variant(restrict_conv)
+        # the conv emitter pads bf16[1,512,512,1,8,64] 32x -> 16 GB HBM
+        # OOM at 512^3 (measured); it already loses 2.4x at 256
+        tr_conv = t_variant(restrict_conv) if n <= 256 else float("nan")
         print(f"n={n:4d} transfer_v einsum {tr_slow*1e6:9.1f} us | "
               f"kernel {tr_fast*1e6:9.1f} us (ratio {tr_fast/tr_slow:5.2f})"
               f" | pool {tr_pool*1e6:9.1f} us | conv {tr_conv*1e6:9.1f} us"
               f" | res+restr sep {pair_sep*1e6:9.1f} us | "
+              f"sep-pool {pair_pool*1e6:9.1f} us "
+              f"(ratio {pair_pool/pair_sep:5.2f}) | "
               f"fres {pair_fused*1e6:9.1f} us "
               f"(ratio {pair_fused/pair_sep:5.2f})")
 

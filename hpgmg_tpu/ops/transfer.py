@@ -64,8 +64,40 @@ def _restrict_matrix(m2: int, dtype) -> jax.Array:
     return 0.5 * jnp.repeat(jnp.eye(m2 // 2, dtype=dtype), 2, axis=1)
 
 
+# TPU pooling-emitter restriction: lax.reduce_window(2,2,2 stride 2) beats
+# the three-einsum form at >=256^3 on-chip (0.77x at 256, 0.72x at 512;
+# the einsum wins at 128 — docs/RESTRICT_r04.md) because the pooled form
+# streams the fine array ONCE with no (n/2,n,n) HBM intermediates. Window
+# == stride, so GSPMD needs no halo under sharding. The flag exists for
+# the A/B tool (bench/restrict_sweep.py) and parity tests.
+RESTRICT_POOL = True
+RESTRICT_POOL_MIN_DIM = 256
+
+
+def _use_pool_restrict(xf: jax.Array) -> bool:
+    if not RESTRICT_POOL:
+        return False
+    if min(xf.shape) < RESTRICT_POOL_MIN_DIM or any(s % 2 for s in xf.shape):
+        return False
+    if jnp.dtype(xf.dtype).itemsize > 4:
+        return False  # keep f64 verification runs on the proven einsums
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probe failure
+        return False
+
+
+def restrict_pool(xf: jax.Array) -> jax.Array:
+    """restrict_cell as one 2x2x2 stride-2 mean via reduce_window."""
+    s = lax.reduce_window(xf, jnp.zeros((), xf.dtype), lax.add,
+                          (2, 2, 2), (2, 2, 2), "VALID")
+    return s * jnp.asarray(0.125, xf.dtype)
+
+
 def restrict_cell(xf: jax.Array) -> jax.Array:
     """Piecewise-constant 8->1 cell average (restriction_pc_block, x0.125)."""
+    if _use_pool_restrict(xf):
+        return restrict_pool(xf)
     Ws = [_restrict_matrix(xf.shape[a], xf.dtype) for a in range(3)]
     return sep_apply(*Ws, xf)
 

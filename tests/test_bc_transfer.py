@@ -66,6 +66,15 @@ class TestRestriction:
         xf = jnp.full((8, 8, 8), 3.25)
         np.testing.assert_allclose(restrict_cell(xf), 3.25)
 
+    def test_pool_matches_einsum(self):
+        """reduce_window restriction (the TPU >=256^3 dispatch in
+        restrict_cell) is the same 8->1 average as the einsum form."""
+        from hpgmg_tpu.ops.transfer import restrict_pool
+
+        xf = _rand((16, 8, 12), 11)
+        np.testing.assert_allclose(restrict_pool(xf), restrict_cell(xf),
+                                   rtol=1e-13)
+
     @pytest.mark.parametrize("axis,fn", [(0, restrict_face_i),
                                          (1, restrict_face_j),
                                          (2, restrict_face_k)])

@@ -153,6 +153,21 @@ def test_measure_breakdown_rows():
     assert "transfer_v" in table and "transfer_f" in table
 
 
+def test_ladder_sweep_smoke(capsys):
+    """ladder_sweep drives whole-solve benchmarks across min_coarse_dim
+    variants (the DIRECT bottom makes ladder depth a free parameter);
+    both ladder arms must solve to the same residual regime."""
+    from hpgmg_tpu.bench.ladder_sweep import main
+
+    main(["--sizes", "32", "--coarse", "8", "16", "--seconds", "0.01",
+          "--no-fres"])
+    out = capsys.readouterr().out
+    assert "coarse= 8" in out and "coarse=16" in out
+    rels = [float(line.split("rel_res=")[1])
+            for line in out.splitlines() if "rel_res=" in line]
+    assert len(rels) == 2 and all(r < 2e-3 for r in rels)
+
+
 def test_restrict_sweep_smoke(capsys):
     """restrict_sweep drives both arms of both A/Bs (einsum vs kernel
     restriction; separate vs fused residual+restrict) in interpret mode.
@@ -161,4 +176,4 @@ def test_restrict_sweep_smoke(capsys):
 
     main(["--sizes", "64", "--reps", "1"])
     out = capsys.readouterr().out
-    assert "fres" in out and "transfer_v" in out
+    assert "fres" in out and "transfer_v" in out and "sep-pool" in out
