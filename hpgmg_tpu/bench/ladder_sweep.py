@@ -49,14 +49,17 @@ def main(argv=None):
                                    smoother=Smoother.GSRB,
                                    bottom=BottomSolver.DIRECT,
                                    min_coarse_dim=mc, dtype=jnp.float32)
-                old = R.FUSED_RESTRICT
+                old = (R.FUSED_RESTRICT, R.FUSED_RESTRICT_MAX_DIM)
+                # the fused arm is ALL-levels fres (lift the dim gate so
+                # the A/B keeps measuring the ungated variant)
                 R.FUSED_RESTRICT = fused
+                R.FUSED_RESTRICT_MAX_DIM = 1 << 30
                 try:
                     res = run_benchmark(n, cfg, mesh=None,
                                         min_solve_seconds=args.seconds,
                                         verbose=False)
                 finally:
-                    R.FUSED_RESTRICT = old
+                    R.FUSED_RESTRICT, R.FUSED_RESTRICT_MAX_DIM = old
                 print(f"n={n:4d} coarse={mc:2d} fres={int(fused)}: "
                       f"{res.seconds_per_solve * 1e3:9.3f} ms/solve  "
                       f"{res.dof_per_second:.3e} DOF/s  "

@@ -92,9 +92,11 @@ def main(argv=None):
                 print(f"  variant failed: {type(e).__name__}: {e}")
                 return float("nan")
 
-        old, oldp = R.FUSED_RESTRICT, T.RESTRICT_POOL
+        old = (R.FUSED_RESTRICT, R.FUSED_RESTRICT_MAX_DIM)
+        oldp = T.RESTRICT_POOL
         try:
             R.FUSED_RESTRICT = True
+            R.FUSED_RESTRICT_MAX_DIM = 1 << 30
             tr_fast = t_transfer(True)
             pair_fused = t_pair("fres")
             # einsum baselines: pool auto-dispatch off
@@ -102,7 +104,8 @@ def main(argv=None):
             tr_slow = t_transfer(False)
             pair_sep = t_pair("einsum")
         finally:
-            R.FUSED_RESTRICT, T.RESTRICT_POOL = old, oldp
+            R.FUSED_RESTRICT, R.FUSED_RESTRICT_MAX_DIM = old
+            T.RESTRICT_POOL = oldp
         pair_pool = t_pair("pool")
         tr_pool = t_variant(restrict_pool)
         # the conv emitter pads bf16[1,512,512,1,8,64] 32x -> 16 GB HBM

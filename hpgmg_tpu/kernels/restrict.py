@@ -37,10 +37,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 import hpgmg_tpu.kernels.stencils as _s
 
-# Default OFF until the on-chip A/B (docs/RESTRICT_r04.md) confirms
-# Mosaic legalization + a win: gates both the standalone kernel dispatch
-# and the fused fv4 'fres' mode. Tests force it via the module attr.
-FUSED_RESTRICT = False
+# Default ON for levels up to 128^3 after the on-chip A/B
+# (docs/RESTRICT_r04.md): whole-solve fres wins ~5% at 128^3
+# (3.67e8 vs 3.49e8 DOF/s, ladder_sweep) where the fine residual
+# round-trip is launch/op-count bound; at >=256^3 the HBM-bound regime
+# belongs to the pooled reduce_window restriction
+# (ops/transfer.py:RESTRICT_POOL — pair leg 14.6 ms vs fres 15.3 ms at
+# 512^3), so larger fine levels stay on residual+pool. Gates both the
+# standalone kernel dispatch and the fused fv4 'fres' mode; tests and
+# bench/ladder_sweep force it via the module attrs.
+FUSED_RESTRICT = True
+FUSED_RESTRICT_MAX_DIM = 128
 
 _VMEM_BUDGET_RESTRICT = 48 * 2 ** 20
 
@@ -134,7 +141,7 @@ def use_pallas_restrict(cfg, level) -> bool:
     if getattr(level, "ksharded", False):
         return False
     n = level.dim
-    if n < _s._AUTO_MIN_DIM or n % 2:
+    if n < _s._AUTO_MIN_DIM or n % 2 or n > FUSED_RESTRICT_MAX_DIM:
         return False
     if tile_shape_restrict(n) is None:
         return False

@@ -112,11 +112,12 @@ class RadiusOneKernelMixin:
         """Fused residual+restriction through the masked Dirichlet
         radius-1 kernel (mode='fres'); None routes the caller to the
         separate phases (sharded/periodic/XLA paths)."""
-        from hpgmg_tpu.kernels.restrict import FUSED_RESTRICT
+        import hpgmg_tpu.kernels.restrict as R
         from hpgmg_tpu.kernels.stencils_r1 import (
             r1_restrict_residual_pallas, use_pallas_r1)
 
-        if not FUSED_RESTRICT or cfg.bc == BC.PERIODIC:
+        if (not R.FUSED_RESTRICT or level.dim > R.FUSED_RESTRICT_MAX_DIM
+                or cfg.bc == BC.PERIODIC):
             return None
         if not use_pallas_r1(cfg, level):
             return None

@@ -186,10 +186,10 @@ class FV4(base.OperatorSuite):
         """Fused residual+restriction through the masked Dirichlet kernel
         (mode='fres'); None routes the caller to the separate phases
         (sharded levels, periodic/ext mode, XLA path)."""
+        import hpgmg_tpu.kernels.restrict as R
         import hpgmg_tpu.kernels.stencils as K
-        from hpgmg_tpu.kernels.restrict import FUSED_RESTRICT
 
-        if not FUSED_RESTRICT:
+        if not R.FUSED_RESTRICT or level.dim > R.FUSED_RESTRICT_MAX_DIM:
             return None
         if cfg.bc == BC.PERIODIC or K.SINGLE_EXT or K.SUBTILE:
             return None

@@ -348,5 +348,9 @@ def test_fused_restrict_residual_matches_pair(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-12)
     # flag off / xla mode: the fused path declines
-    assert op.restrict_residual(lv, x, prob.f, pcfg) is None
+    R.FUSED_RESTRICT = False
+    try:
+        assert op.restrict_residual(lv, x, prob.f, pcfg) is None
+    finally:
+        R.FUSED_RESTRICT = old
     assert op.restrict_residual(lv, x, prob.f, xla_cfg(cfg)) is None
