@@ -32,6 +32,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # (MG_AGGLOMERATION_START analog, mg.h:15-17).
 AGGLOMERATION_START = 8
 
+# Graduated agglomeration: axes drop out of a level's sharding one at a
+# time as the per-chip extent falls below AGGLOMERATION_START, so a
+# mid-ladder level can stay sharded over the surviving axes (e.g. a 16^3
+# level on a 4x2x1 mesh keeps 2-way y-sharding) — the analog of the
+# reference's graduated 8:1-then-1-rank agglomeration ladder
+# (mg.c:894-952) instead of a binary sharded/replicated jump. False
+# restores the binary rule (an A/B knob; the FLOP-overhead delta is
+# tracked by tests/test_weak_scaling.py).
+GRADUATED = True
+
 MESH_AXES = ("x", "y", "z")
 
 
@@ -121,15 +131,17 @@ def make_pod_mesh(devices: Optional[List] = None,
 
 def level_sharding(mesh: Mesh, dim: int,
                    face_axis: Optional[int] = None) -> NamedSharding:
-    """Sharding for a level of extent ``dim``: sharded over the mesh while
-    each chip keeps >= AGGLOMERATION_START cells per sharded axis, else
-    replicated (the agglomeration analog).
+    """Sharding for a level of extent ``dim``: an axis stays sharded while
+    each chip keeps >= AGGLOMERATION_START cells along it; axes that fall
+    below drop out individually (GRADUATED, the graduated agglomeration
+    ladder of mg.c:894-952) until the level is fully replicated.
 
     ``face_axis``: face arrays have dim+1 entries along one axis, which is
     not evenly divisible — that axis stays unsharded (its footprint is
     small and XLA would pad otherwise).
     """
     spec = []
+    dropped = False
     for ax, name in enumerate(MESH_AXES):
         size = mesh.shape[name]
         if ax == face_axis or size == 1:
@@ -139,7 +151,8 @@ def level_sharding(mesh: Mesh, dim: int,
             spec.append(name)
         else:
             spec.append(None)
-    if all(s is None for s in spec):
+            dropped = True
+    if all(s is None for s in spec) or (dropped and not GRADUATED):
         return NamedSharding(mesh, P())
     return NamedSharding(mesh, P(*spec))
 
@@ -156,14 +169,17 @@ def array_sharding(mesh: Mesh, shape, dim: int) -> NamedSharding:
     AND the actual extent divides evenly; ghost-extended axes that don't
     divide stay replicated (small waste, correct always)."""
     spec = []
+    level_dropped = False
     for ax, name in enumerate(MESH_AXES):
         size = mesh.shape[name]
-        if (size > 1 and shape[ax] % size == 0 and dim % size == 0
-                and dim // size >= AGGLOMERATION_START):
+        level_ok = dim % size == 0 and dim // size >= AGGLOMERATION_START
+        if size > 1 and not level_ok:
+            level_dropped = True
+        if size > 1 and level_ok and shape[ax] % size == 0:
             spec.append(name)
         else:
             spec.append(None)
-    if all(s is None for s in spec):
+    if all(s is None for s in spec) or (level_dropped and not GRADUATED):
         return NamedSharding(mesh, P())
     return NamedSharding(mesh, P(*spec))
 

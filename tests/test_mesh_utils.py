@@ -31,6 +31,33 @@ def test_pod_mesh_single_slice_fallback():
     assert dict(mesh.shape) == dict(ref.shape)
 
 
+def test_graduated_agglomeration_ladder():
+    """Mid-ladder levels keep partial sharding on the surviving axes —
+    the graduated agglomeration ladder (mg.c:894-952) instead of a
+    binary sharded/replicated jump; GRADUATED=False restores the
+    binary rule."""
+    import pytest
+    from jax.sharding import PartitionSpec as P
+
+    from hpgmg_tpu.parallel import mesh as M
+
+    mesh = M.make_mesh_ij()
+    if dict(mesh.shape) != {"x": 4, "y": 2, "z": 1}:
+        pytest.skip("needs the 4x2x1 virtual mesh")
+    assert M.level_sharding(mesh, 64).spec == P("x", "y", None)
+    assert M.level_sharding(mesh, 32).spec == P("x", "y", None)
+    # x drops (16//4 = 4 < AGGLOMERATION_START), y survives (16//2 = 8)
+    assert M.level_sharding(mesh, 16).spec == P(None, "y", None)
+    assert M.level_sharding(mesh, 8).spec == P()
+    old = M.GRADUATED
+    M.GRADUATED = False
+    try:
+        assert M.level_sharding(mesh, 16).spec == P()
+        assert M.level_sharding(mesh, 32).spec == P("x", "y", None)
+    finally:
+        M.GRADUATED = old
+
+
 def test_pod_mesh_emulated_slices():
     """Explicit n_slices emulates the hybrid layout on virtual devices:
     the DCN factor rides outermost on z, consecutive device blocks form
