@@ -205,21 +205,29 @@ def run_sample(op: FEOp, degree: int = 2, local: Tuple[int, int] = (50, 10000),
     if not samples:
         raise ValueError("no compatible sample sizes; widen -local")
 
+    def emit(r):
+        # print per sample, not in one trailing block: through the flaky
+        # TPU tunnel a large-grid compile can outlive the batch timeout,
+        # and an end-only report would lose every completed measurement
+        if verbose:
+            print(f"Q{degree} G[{r.M[0]:5d}{r.M[1]:5d}{r.M[2]:5d}] "
+                  f"P[{procs[0]:3d}{procs[1]:3d}{procs[2]:3d}] "
+                  f"{r.seconds:10.6f} s {r.gflops:9.3f} GF "
+                  f"{r.meq_per_s:9.3f} MEq/s", flush=True)
+
     if verbose:
-        print(f"Small sample of size {samples[0]} (instant feedback)")
+        print(f"Small sample of size {samples[0]} (instant feedback)",
+              flush=True)
     results = [sample_on_grid(op, samples[0], degree, dtype, 1, 0.0,
                               mesh=mesh)]
+    emit(results[0])
     if len(samples) > 1:
         if verbose:
-            print(f"Large sample of size {samples[-1]} (memory + warmup)")
+            print(f"Large sample of size {samples[-1]} (memory + warmup)",
+                  flush=True)
         sample_on_grid(op, samples[-1], degree, dtype, 1, 0.0, mesh=mesh)
     for M in samples[1:] if len(samples) > 1 else []:
         results.append(sample_on_grid(op, M, degree, dtype, repeat, mintime,
                                       mesh=mesh))
-    if verbose:
-        for r in results:
-            print(f"Q{degree} G[{r.M[0]:5d}{r.M[1]:5d}{r.M[2]:5d}] "
-                  f"P[{procs[0]:3d}{procs[1]:3d}{procs[2]:3d}] "
-                  f"{r.seconds:10.6f} s {r.gflops:9.3f} GF "
-                  f"{r.meq_per_s:9.3f} MEq/s")
+        emit(results[-1])
     return results
