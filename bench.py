@@ -93,8 +93,23 @@ def main():
         "rel_residual": res.rel_residual,
         "seconds_per_solve": res.seconds_per_solve,
     }
+    warnings = []
     if res.richardson_order is not None:
         out["richardson_order"] = round(res.richardson_order, 3)
+        # The fv4 discretization must show >3rd-order Richardson
+        # convergence (mg.c:1113-1131; the oracle is ~4). A silent drop
+        # below 3 means a transfer/restriction regression — flag it
+        # loudly in the artifact rather than shipping a bare number.
+        if res.richardson_order < 3.0:
+            warnings.append(
+                f"richardson_order {res.richardson_order:.3f} < 3.0: "
+                "4th-order operator regression")
+    if res.rel_residual > 1e-3:
+        warnings.append(
+            f"rel_residual {res.rel_residual:.3e} > 1e-3: F-cycle failed "
+            "to reach the f32 discretization-error regime")
+    if warnings:
+        out["warnings"] = warnings
     if with_bicgstab:
         # protocol-clean companion: the reference's own bottom solver
         res_b = run_benchmark(n, cfg_for(BottomSolver.BICGSTAB), mesh=None,

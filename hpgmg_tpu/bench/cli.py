@@ -52,11 +52,15 @@ def main(argv=None):
                    help="TEST_ERROR mode (hpgmg-fv.c:317-348): report "
                         "error vs the analytic solution at h/2h/4h "
                         "instead of DOF/s (needs a pointwise --problem)")
-    p.add_argument("--driver", default=None, choices=["fmg2", "mgpcg"],
+    p.add_argument("--driver", default=None,
+                   choices=["fmg2", "fmg2dd", "mgpcg"],
                    help="run the iterated-F-cycle (FMGSolve2, "
-                        "mg.c:1348-1495) or MG-preconditioned-CG (MGPCG, "
-                        "mg.c:1500-1607) driver and print its convergence "
-                        "history instead of the DOF/s benchmark")
+                        "mg.c:1348-1495), its compensated double-f32 "
+                        "variant (fmg2dd: f32 kernels + exact two-sum "
+                        "fine iterate, breaks the ~5e-4 f32 floor), or "
+                        "MG-preconditioned-CG (MGPCG, mg.c:1500-1607) "
+                        "and print the convergence history instead of "
+                        "the DOF/s benchmark")
     p.add_argument("--min-seconds", type=float, default=1.0)
     p.add_argument("--timing-table", action="store_true",
                    help="print the per-level x per-op breakdown "
@@ -98,13 +102,16 @@ def main(argv=None):
 
         from hpgmg_tpu.bench.driver import _build
         from hpgmg_tpu.ops.base import get_suite
-        from hpgmg_tpu.solve.mg import fmg_solve2, mgpcg
+        from hpgmg_tpu.solve.mg import fmg_solve2, fmg_solve2_dd, mgpcg
 
         hier, f = _build(args.n, cfg, problem=args.problem)
         op = get_suite(cfg.op)
-        run = (lambda: fmg_solve2(op, hier, f, cfg, verbose=True)
-               ) if args.driver == "fmg2" else (
-            lambda: mgpcg(op, hier, f, cfg, verbose=True))
+        if args.driver == "fmg2":
+            run = lambda: fmg_solve2(op, hier, f, cfg, verbose=True)
+        elif args.driver == "fmg2dd":
+            run = lambda: fmg_solve2_dd(op, hier, f, cfg, verbose=True)[1:]
+        else:
+            run = lambda: mgpcg(op, hier, f, cfg, verbose=True)
         _, history = run()      # warmup/compile pass
         t0 = time.perf_counter()
         _, history = run()

@@ -35,6 +35,10 @@ def main(argv=None):
                    help="timed-chain budget per variant")
     p.add_argument("--no-fres", action="store_true",
                    help="skip the FUSED_RESTRICT arms")
+    p.add_argument("--bottom", default="direct",
+                   help="bottom solver (DIRECT caps the bottom at 16^3; "
+                        "pass bicgstab to truncate deeper — coarse=32/64 "
+                        "isolates the sub-ladder's cost, FLOOR128 batch d)")
     args = p.parse_args(argv)
 
     import hpgmg_tpu.kernels.restrict as R
@@ -47,7 +51,7 @@ def main(argv=None):
             for fused in ((False,) if args.no_fres else (False, True)):
                 cfg = SolverConfig(op=args.op, a=0.0, b=1.0,
                                    smoother=Smoother.GSRB,
-                                   bottom=BottomSolver.DIRECT,
+                                   bottom=BottomSolver(args.bottom),
                                    min_coarse_dim=mc, dtype=jnp.float32)
                 old = (R.FUSED_RESTRICT, R.FUSED_RESTRICT_MAX_DIM)
                 # the fused arm is ALL-levels fres (lift the dim gate so

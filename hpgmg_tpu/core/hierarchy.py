@@ -47,7 +47,8 @@ def level_dims(fine_dim: int, min_coarse_dim: int) -> List[int]:
 def build_hierarchy(beta_i, beta_j, beta_k, cfg: SolverConfig,
                     alpha: Optional[jax.Array] = None,
                     h: Optional[float] = None,
-                    jit: bool = True) -> Hierarchy:
+                    jit: bool = True,
+                    _defer_direct: bool = False) -> Hierarchy:
     """Build all levels from fine-level coefficients.
 
     ``beta_*`` are face arrays (beta_i: (n+1, n, n)); ``alpha`` is cell-
@@ -63,10 +64,25 @@ def build_hierarchy(beta_i, beta_j, beta_k, cfg: SolverConfig,
         if h is None:
             h = 1.0 / beta_i.shape[1]
 
-        def _build(bi, bj, bk, al):
-            return build_hierarchy(bi, bj, bk, cfg, alpha=al, h=h, jit=False)
+        # XLA's TPU LuDecomposition is F32/C64-only, so the in-program
+        # inverse of the DIRECT bottom cannot trace in f64 on TPU
+        # (solvers.c:17-88 dispatch analog). Defer it: assemble the dense
+        # bottom matrix in-program, invert on the HOST in numpy f64, and
+        # device_put the result — MGBuild-time work either way.
+        from hpgmg_tpu.core.config import BottomSolver
 
-        return jax.jit(_build)(beta_i, beta_j, beta_k, alpha)
+        defer_direct = (cfg.bottom == BottomSolver.DIRECT
+                        and jnp.dtype(beta_i.dtype).itemsize > 4
+                        and jax.default_backend() == "tpu")
+
+        def _build(bi, bj, bk, al):
+            return build_hierarchy(bi, bj, bk, cfg, alpha=al, h=h, jit=False,
+                                   _defer_direct=defer_direct)
+
+        hier = jax.jit(_build)(beta_i, beta_j, beta_k, alpha)
+        if defer_direct:
+            hier = _attach_host_direct_inverse(hier, cfg)
+        return hier
     from hpgmg_tpu.ops.base import get_suite
     from hpgmg_tpu.ops.transfer import (restrict_cell, restrict_face_i,
                                         restrict_face_j, restrict_face_k)
@@ -106,9 +122,33 @@ def build_hierarchy(beta_i, beta_j, beta_k, cfg: SolverConfig,
         eye = jnp.eye(m, dtype=bot.beta_i.dtype).reshape(m, *bot.shape)
         cols = jax.vmap(lambda e: op.apply_op(bot, e, cfg).ravel())(eye)
         a_mat = cols.T  # apply of e_j forms column j
-        singular = cfg.bc == BC.PERIODIC and not cfg.helmholtz
-        ainv = jnp.linalg.pinv(a_mat) if singular else jnp.linalg.inv(a_mat)
-        levels[-1] = dataclasses.replace(bot, bottom_ainv=ainv)
+        if _defer_direct:
+            # f64-on-TPU: stash the assembled matrix; the jit=True wrapper
+            # inverts it on the host (_attach_host_direct_inverse)
+            levels[-1] = dataclasses.replace(bot, bottom_ainv=a_mat)
+        else:
+            singular = cfg.bc == BC.PERIODIC and not cfg.helmholtz
+            ainv = (jnp.linalg.pinv(a_mat) if singular
+                    else jnp.linalg.inv(a_mat))
+            levels[-1] = dataclasses.replace(bot, bottom_ainv=ainv)
+    return Hierarchy(levels=levels)
+
+
+def _attach_host_direct_inverse(hier: Hierarchy, cfg: SolverConfig):
+    """Replace the deferred bottom matrix with its host-computed f64
+    inverse (numpy). Keeps `--dtype float64 --bottom direct` working on
+    TPU, where in-program LU is f32-only."""
+    import numpy as np
+
+    from hpgmg_tpu.core.config import BC
+
+    bot = hier.levels[-1]
+    a_np = np.asarray(jax.device_get(bot.bottom_ainv), dtype=np.float64)
+    singular = cfg.bc == BC.PERIODIC and not cfg.helmholtz
+    ainv_np = np.linalg.pinv(a_np) if singular else np.linalg.inv(a_np)
+    ainv = jax.device_put(jnp.asarray(ainv_np, dtype=bot.bottom_ainv.dtype))
+    levels = list(hier.levels)
+    levels[-1] = dataclasses.replace(bot, bottom_ainv=ainv)
     return Hierarchy(levels=levels)
 
 

@@ -41,9 +41,15 @@ kernels — see git history):
   red/black parity enters through which pre-masked ``kdinv`` field is
   passed — the GSRB_FP trick, gsrb.c:78-87, folded at MGBuild time).
 
-Unsupported here (XLA fallback): periodic BCs (ghosts need the opposite
-domain face — not in a local window), Helmholtz alpha term, dims not
-tileable as below, non-fv4 suites.
+Helmholtz runs in-kernel too: ``a*alpha[ijk]*x`` (operators.fv4.c:87-91)
+rides as one extra cell-centered operand stream (near-free: the kernel is
+VPU-op-bound, not HBM-bound — docs/GSRB_VPU.md), in every mode including
+GSRB2 and the sharded ext/slab paths.
+
+Unsupported here (XLA fallback): dims not tileable as below, non-fv4
+suites (those have their own radius-1 kernel family, stencils_r1.py).
+Periodic BCs run through the pre-extended ``ext``/local layout
+(tile_shape_local) rather than the masked Dirichlet window path.
 """
 
 from __future__ import annotations

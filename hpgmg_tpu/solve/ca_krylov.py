@@ -17,6 +17,16 @@ semantics.
 Telescoping (cabicgstab.c:49-54): start with s=1, then s=2, then s=4
 forever — implemented as two unrolled prologue steps + a ``lax.while_loop``
 at s=4 (static shapes per phase).
+
+f32 robustness — SCALED monomial basis: the raw powers A^{2s}r grow like
+||A||^{2s} (~1e18 at a 4^3 fv4 bottom) and their Gram squares overflow
+f32 (the reference never sees this: it is f64-only). Each power is
+normalized by a per-solve power-of-two bound sigma >= ~||A|| (one extra
+Rayleigh-probe reduction at setup — NOT per iteration, so the one-
+reduction-per-outer-step CA property is intact), and sigma is folded into
+the shift matrices (A vhat_i = sigma vhat_{i+1} => T'[i+1,i] = sigma);
+the recurrence algebra is invariant under the rescale, and a power-of-two
+sigma makes the rescale itself lossless.
 """
 
 from __future__ import annotations
@@ -48,6 +58,17 @@ def _monomial_shift(k: int, splits, power: int):
     return t
 
 
+def _basis_scale(op, level, cfg, r):
+    """Power-of-two upper-bound estimate of ||A|| from one Rayleigh probe
+    (||A r|| / ||r||, x4 safety). ONE setup-time reduction per solve; keeps
+    every scaled power O(||r||) so f32 Grams cannot overflow."""
+    nr = blas.norm(r)
+    na = blas.norm(op.apply_op(level, r, cfg))
+    est = jnp.where(nr > 0, 4.0 * na / jnp.where(nr > 0, nr, 1.0), 1.0)
+    est = jnp.maximum(est, 1.0)
+    return jnp.exp2(jnp.ceil(jnp.log2(est))).astype(r.dtype)
+
+
 def _gram(v_rows, v_cols, rd):
     """G[a, b] = <v_rows[a], v_cols[b]> — one einsum == one reduction."""
     acc = rd or v_rows.dtype
@@ -75,24 +96,26 @@ class _CABiCGStabState(NamedTuple):
 
 
 def _cabicgstab_sstep(op, level: Level, cfg: SolverConfig, s: int,
-                      state: _CABiCGStabState, rt, l2_rt):
+                      state: _CABiCGStabState, rt, l2_rt, sigma):
     """One outer s-step: build the 4s+1 basis, one Gram reduction, s inner
-    iterations (cabicgstab.c:101-277)."""
+    iterations (cabicgstab.c:101-277). ``sigma`` scales the basis (see
+    module docstring)."""
     rd = cfg.reduce_dtype
     k = 4 * s + 1
     dtype = state.x.dtype
-    tp = jnp.asarray(_monomial_shift(
+    tp = sigma * jnp.asarray(_monomial_shift(
         k, [(0, 2 * s), (2 * s + 1, 4 * s)], 1), dtype)
-    tpp = jnp.asarray(_monomial_shift(
+    tpp = sigma * sigma * jnp.asarray(_monomial_shift(
         k, [(0, 2 * s - 1), (2 * s + 1, 4 * s - 1)], 2), dtype)
 
-    # monomial matrix powers (cabicgstab.c:124-143)
+    # scaled monomial matrix powers (cabicgstab.c:124-143)
+    inv_sigma = 1.0 / sigma
     pows_p = [state.p]
     for _ in range(2 * s):
-        pows_p.append(op.apply_op(level, pows_p[-1], cfg))
+        pows_p.append(inv_sigma * op.apply_op(level, pows_p[-1], cfg))
     pows_r = [state.r]
     for _ in range(2 * s - 1):
-        pows_r.append(op.apply_op(level, pows_r[-1], cfg))
+        pows_r.append(inv_sigma * op.apply_op(level, pows_r[-1], cfg))
     basis = jnp.stack(pows_p + pows_r)  # (k, ...)
     basis_rt = jnp.concatenate([basis, rt[None]])  # (k+1, ...)
 
@@ -117,7 +140,7 @@ def _cabicgstab_sstep(op, level: Level, cfg: SolverConfig, s: int,
         g_dot_tpaj = g @ tpaj
         fail_now = g_dot_tpaj == 0.0  # pivot breakdown
         alpha = delta / g_dot_tpaj
-        fail_now |= jnp.isinf(alpha)
+        fail_now |= ~jnp.isfinite(alpha)
         alpha_s = jnp.where(fail_now, 0.0, alpha)
 
         # omega via the numerically-preferred grouping (cabicgstab.c:184-189)
@@ -137,7 +160,7 @@ def _cabicgstab_sstep(op, level: Level, cfg: SolverConfig, s: int,
 
         fail_omega = (omega_den == 0.0)
         omega = omega_num / omega_den
-        fail_omega |= jnp.isinf(omega)
+        fail_omega |= ~jnp.isfinite(omega)
         omega_s = jnp.where(fail_omega, 0.0, omega)
 
         ej_full = ej_half + omega_s * cj - omega_s * alpha_s * tpaj
@@ -150,10 +173,10 @@ def _cabicgstab_sstep(op, level: Level, cfg: SolverConfig, s: int,
         conv_late = l2_r < target
 
         delta_next = g @ cj_full
-        fail_late = jnp.isinf(delta_next) | (delta_next == 0.0) \
+        fail_late = ~jnp.isfinite(delta_next) | (delta_next == 0.0) \
             | (omega_s == 0.0)
         beta = (delta_next / delta) * (alpha_s / omega_s)
-        fail_late |= jnp.isinf(beta) | (beta == 0.0)
+        fail_late |= ~jnp.isfinite(beta) | (beta == 0.0)
         aj_next = cj_full + beta * aj - omega_s * beta * tpaj
 
         # commit with break semantics: once failed/converged, freeze
@@ -188,6 +211,7 @@ def cabicgstab(op, level: Level, x, rhs, cfg: SolverConfig,
     norm_rt = blas.norm(rt)
     l2_rt = jnp.sqrt(delta)
     converged0 = (norm_rt == 0.0) | (delta == 0.0)
+    sigma = _basis_scale(op, level, cfg, rt)
 
     st = _CABiCGStabState(
         x=x, p=rt, r=rt, delta=delta, m=jnp.array(0, jnp.int32),
@@ -195,14 +219,15 @@ def cabicgstab(op, level: Level, x, rhs, cfg: SolverConfig,
 
     if cfg.cabicgstab_telescoping:
         # telescoping prologue: s=1 then s=2 (cabicgstab.c:99,276)
-        st = _cabicgstab_sstep(op, level, cfg, 1, st, rt, l2_rt)
-        st = _cabicgstab_sstep(op, level, cfg, 2, st, rt, l2_rt)
+        st = _cabicgstab_sstep(op, level, cfg, 1, st, rt, l2_rt, sigma)
+        st = _cabicgstab_sstep(op, level, cfg, 2, st, rt, l2_rt, sigma)
 
     def cond(st):
         return (st.m < _M_MAX) & ~st.failed & ~st.converged
 
     def body(st):
-        return _cabicgstab_sstep(op, level, cfg, CA_KRYLOV_S, st, rt, l2_rt)
+        return _cabicgstab_sstep(op, level, cfg, CA_KRYLOV_S, st, rt, l2_rt,
+                                 sigma)
 
     st = lax.while_loop(cond, body, st)
     return st.x
@@ -232,15 +257,18 @@ def cacg(op, level: Level, x, rhs, cfg: SolverConfig,
     l2_r0 = jnp.sqrt(delta0)
     target = cfg.bottom_rtol * l2_r0
     dtype = x.dtype
-    tp = jnp.asarray(_monomial_shift(k, [(0, s), (s + 1, 2 * s)], 1), dtype)
+    sigma = _basis_scale(op, level, cfg, r0)
+    inv_sigma = 1.0 / sigma
+    tp = sigma * jnp.asarray(
+        _monomial_shift(k, [(0, s), (s + 1, 2 * s)], 1), dtype)
 
     def body(st: _CACGState):
         pows_p = [st.p]
         for _ in range(s):
-            pows_p.append(op.apply_op(level, pows_p[-1], cfg))
+            pows_p.append(inv_sigma * op.apply_op(level, pows_p[-1], cfg))
         pows_r = [st.r]
         for _ in range(s - 1):
-            pows_r.append(op.apply_op(level, pows_r[-1], cfg))
+            pows_r.append(inv_sigma * op.apply_op(level, pows_r[-1], cfg))
         basis = jnp.stack(pows_p + pows_r)  # (k, ...)
         G = _gram(basis, basis, rd)  # ONE global reduction
 
@@ -257,7 +285,7 @@ def cacg(op, level: Level, x, rhs, cfg: SolverConfig,
             cj_dot_gcj = cj @ (G @ cj)
             fail_now = aj_dot_gtpaj == 0.0
             alpha = cj_dot_gcj / aj_dot_gtpaj
-            fail_now |= jnp.isinf(alpha)
+            fail_now |= ~jnp.isfinite(alpha)
             alpha_s = jnp.where(fail_now, 0.0, alpha)
 
             ej_new = ej + alpha_s * aj
@@ -267,7 +295,7 @@ def cacg(op, level: Level, x, rhs, cfg: SolverConfig,
             conv_now = l2_r < target
             fail_late = cj_dot_gcj_new == 0.0
             beta = cj_dot_gcj_new / cj_dot_gcj
-            fail_late |= jnp.isinf(beta) | (beta == 0.0)
+            fail_late |= ~jnp.isfinite(beta) | (beta == 0.0)
             aj_new = cj_new + beta * aj
 
             upd = active & ~fail_now

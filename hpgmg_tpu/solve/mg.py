@@ -291,6 +291,72 @@ def fmg_solve2(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
     return u, history
 
 
+def fmg_solve2_dd(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
+                  max_fcycles: int = 20, verbose: bool = False):
+    """Mixed-precision FMGSolve2: f32 cycles with a COMPENSATED fine-level
+    iterate (SURVEY §7.8 risk #1; the mg.c:1221 rtol-1e-10 oracle's f32
+    analog).
+
+    The flagship f32 F-cycle floors at ~5e-4 relative residual because the
+    fine iterate u is *stored* in f32: representation noise delta_u ~
+    eps*|u| is non-smooth, so the h^-2-scaled stencil amplifies it to
+    ||A delta_u|| ~ 25 * h^-2 * eps * |u| — at 512^3 that is ~3e-4 of
+    ||f||, exactly the observed plateau. Storing the fine solution as an
+    unevaluated double-f32 sum (u_hi + u_lo, Dekker/Knuth two-sum
+    accumulation) removes that floor while every operator apply, transfer
+    and smooth stays in plain f32 on the fast kernels:
+
+        r   = (f - A u_hi) - A u_lo      (linearity; two f32 applies)
+        e   = FMG(r)                     (one plain f32 F-cycle)
+        u   = two_sum(u_hi, u_lo + e)    (exact-error accumulation)
+
+    The remaining floor is the f32 rounding *inside* one apply of the
+    smooth iterate (differences of adjacent u are Sterbenz-exact; the
+    flux scalings contribute ~2 eps each), measured ~1e-6 — two to three
+    orders below the plain-f32 plateau, at the cost of ONE extra fine
+    apply per F-cycle (the r4 512^3 breakdown prices a fine residual at
+    ~11 ms against a 183 ms solve).
+
+    Returns (u_hi, u_lo, history) — the converged solution is
+    u_hi + u_lo (u_hi alone is the f32-representable part).
+    """
+    levels = hier.levels
+    lv0 = levels[0]
+    u_hi = jnp.zeros(lv0.shape, lv0.dtype)
+    u_lo = jnp.zeros(lv0.shape, lv0.dtype)
+    subtract = _must_subtract_mean(cfg)
+
+    @jax.jit
+    def fstep(hier, u_hi, u_lo, f):
+        lv = hier.levels[0]
+        # residual of the unevaluated sum: big cancellation first
+        r = op.residual(lv, u_hi, f, cfg) - op.apply_op(lv, u_lo, cfg)
+        e, _, _ = fmg_solve(op, hier, r, cfg)
+        # two-sum accumulate: (u_hi, u_lo) <- fl(u_hi + t), exact error
+        t = u_lo + e
+        s = u_hi + t
+        err = (u_hi - s) + t
+        if subtract:
+            m = blas.mean(s, cfg.reduce_dtype) + blas.mean(
+                err, cfg.reduce_dtype)
+            s = s - m
+        r2 = op.residual(lv, s, f, cfg) - op.apply_op(lv, err, cfg)
+        return s, err, blas.norm(r2)
+
+    norm_f = float(blas.norm(f))
+    history = []
+    for fc in range(max_fcycles):
+        u_hi, u_lo, norm_r = fstep(hier, u_hi, u_lo, f)
+        rel = float(norm_r) / norm_f
+        history.append(rel)
+        if verbose:
+            print(f"f-cycle={fc + 1:2d}  norm={float(norm_r):1.15e}  "
+                  f"rel={rel:1.15e}")
+        if rel < cfg.rtol:
+            break
+    return u_hi, u_lo, history
+
+
 def mgpcg(op: OperatorSuite, hier: Hierarchy, f, cfg: SolverConfig,
           max_iters: int = 20, verbose: bool = False):
     """MGPCG (mg.c:1500-1607): CG preconditioned by one MG V-cycle
