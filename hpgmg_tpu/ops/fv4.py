@@ -242,14 +242,20 @@ class FV4(base.OperatorSuite):
                     lv, kgd=stencils.kernel_beta_prediff(
                         lv.beta_i, lv.beta_j, lv.beta_k))
         lv = rebuild_blackbox(self, lv, cfg, colors=4)
-        if lv.kbi is not None:
+        from hpgmg_tpu.kernels import tail as _tail
+
+        if lv.kbi is not None or (
+                _tail._TAIL_MIN_DIM <= lv.dim <= _tail.TAIL_MAX_DIM):
             from hpgmg_tpu.core.level import rb_mask
 
             # GSRB parity masks folded into dinv (the GSRB_FP plane,
-            # gsrb.c:78-87, moved to build time)
+            # gsrb.c:78-87, moved to build time). Small levels get the
+            # pair too — the fused tail V-cycle kernels (kernels/tail.py)
+            # read it even where the tiled kernel views don't attach.
             kdinv = tuple(rb_mask(lv.dim, p, lv.dinv.dtype) * lv.dinv
                           for p in (0, 1))
             lv = dataclasses.replace(lv, kdinv=kdinv)
+        if lv.kbi is not None:
             from hpgmg_tpu.kernels import stencils
 
             # fused double-sweep ring operands (GSRB2_FV4): only the

@@ -108,6 +108,16 @@ def vcycle(op: OperatorSuite, levels: List[Level], lev: int, e, rhs,
                                            must_subtract_mean=msm),
                       args=(op, level, e, rhs, cfg, msm))
 
+    # fused coarse-ladder subtree: the whole V-cycle below here runs as
+    # two Pallas launches + the bottom solve (kernels/tail.py — the
+    # small-grid launch-floor fix, SURVEY §7 hard part 3). Traced mode
+    # only; the timed mode keeps phases itemized.
+    from hpgmg_tpu.kernels.tail import tail_vcycle, use_tail
+
+    if timers is None and use_tail(op, cfg, levels, lev):
+        with scope(f"mg.L{lev}.tail"):
+            return tail_vcycle(op, levels, lev, e, rhs, cfg)
+
     e = _phase(timers, lev, "smooth",
                lambda: smooth(op, level, e, rhs, cfg),
                args=(op, level, e, rhs, cfg))
