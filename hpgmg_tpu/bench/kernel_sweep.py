@@ -32,7 +32,8 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
                 kernels: str = "auto", probe_main_only: bool = False,
                 prediff: bool = False, roll_prim: bool = False,
                 slab: bool = False, gsrb2: bool = False,
-                bf16c: bool = False, subtile: bool = False) -> float:
+                bf16c: bool = False, subtile: bool = False,
+                overlap: bool = False) -> float:
     """Seconds per HALF-sweep."""
     import hpgmg_tpu.kernels.stencils as K
     import hpgmg_tpu.kernels.stencils_r1 as K1
@@ -115,12 +116,21 @@ def time_sweeps(n: int, ext: bool, reps: int, dtype=jnp.float32,
             # single-chip drive of the slab kernel (the sharded fast
             # path's per-shard cost, minus the ppermutes): BC-fill slabs
             # rebuilt from x every half-sweep, constant parity (cost-
-            # equivalent: both parities share one compiled kernel)
+            # equivalent: both parities share one compiled kernel).
+            # overlap=True drives the two-pass interior/edge split
+            # (fv4_call_overlap) — single-chip it measures the split's
+            # pure overhead (extra launch + edge-grid enumeration); the
+            # ppermute-hiding benefit needs real multi-chip ICI.
+            call = K.fv4_call_overlap if overlap else K.fv4_call_slab
+            if overlap:
+                assert K.overlap_grid_shape(n, n, n) is not None, (
+                    f"overlap needs >= 3 slab tiles per axis at n={n}")
+
             @jax.jit
             def chained(lv, x, rhs):
                 def body(i, x):
                     ilo, ihi, jlo, jhi = K.single_chip_slabs(x, cfg.bc)
-                    return K.fv4_call_slab(
+                    return call(
                         x, ilo, ihi, jlo, jhi, lv.kbi, lv.kbj, lv.kbk,
                         lv.kbk_top, rhs + 0.0 * x[0, 0, 0], lv.kdinv[0],
                         "gsrb", cfg.b * lv.h2inv, ipad=2)
@@ -241,6 +251,11 @@ def main(argv=None):
                    help="also time the slab-operand kernel (the sharded "
                         "fast path's per-shard mechanism, single-chip "
                         "driven with BC-fill slabs)")
+    p.add_argument("--overlap", action="store_true",
+                   help="with --slab: also time the comm-overlap "
+                        "two-pass split (fv4_call_overlap) — "
+                        "single-chip this measures the split's pure "
+                        "overhead vs the fused slab call")
     p.add_argument("--gsrb2", action="store_true",
                    help="also time the fused red+black double-sweep "
                         "kernel (radius-1 suites; stencils_r1.GSRB2)")
@@ -348,6 +363,16 @@ def main(argv=None):
             t_s = time_sweeps(n, ext=False, reps=args.reps, slab=True)
             line += (f" | slab {t_s * 1e6:8.1f} us "
                      f"(slab/masked {t_s / t_mask:5.2f})")
+            if args.overlap:
+                import hpgmg_tpu.kernels.stencils as K
+
+                if K.overlap_grid_shape(n, n, n) is None:
+                    line += " | overlap n/a (<3 tiles/axis)"
+                else:
+                    t_o = time_sweeps(n, ext=False, reps=args.reps,
+                                      slab=True, overlap=True)
+                    line += (f" | overlap {t_o * 1e6:8.1f} us "
+                             f"(overlap/slab {t_o / t_s:5.2f})")
         if args.gsrb2:
             t_2 = time_sweeps(n, ext=False, reps=args.reps, gsrb2=True)
             line += (f" | gsrb2 {t_2 * 1e6:8.1f} us "

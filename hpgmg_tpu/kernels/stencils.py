@@ -572,9 +572,28 @@ def _flux_ax_main_only(xj, xglo, xghi, ebi, ebj, ebk, ebk_top, b, J):
 # kernel body
 # ---------------------------------------------------------------------------
 
+def _edge_tile_coords(t, nti: int, ntj: int):
+    """(ti, tj) of the t-th EDGE tile in the static enumeration used by
+    the comm-overlap boundary pass: the ti=0 row, the ti=nti-1 row, then
+    the tj=0 and tj=ntj-1 columns minus the corners already covered
+    (2*ntj + 2*(nti-2) tiles total). Traced-arithmetic only, so the same
+    function serves BlockSpec index maps and the kernel body."""
+    in_top = t < ntj
+    in_bot = t < 2 * ntj
+    in_left = t < 2 * ntj + (nti - 2)
+    ti = jnp.where(in_top, 0,
+                   jnp.where(in_bot, nti - 1,
+                             jnp.where(in_left, t - 2 * ntj + 1,
+                                       t - 2 * ntj - (nti - 2) + 1)))
+    tj = jnp.where(in_top, t,
+                   jnp.where(in_bot, t - ntj,
+                             jnp.where(in_left, 0, ntj - 1)))
+    return ti, tj
+
+
 def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
                 kperiodic=False, a_alpha=0.0, prediff=False, slab=False,
-                cbf16=False):
+                cbf16=False, edge1d=False, alias_lead=False):
     """Shared fv4 stencil body on a (bi, bj, n) tile.
 
     mode: 'apply' -> Ax; 'residual' -> rhs - Ax;
@@ -593,7 +612,15 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
     kperiodic: the k-axis ghosts wrap (periodic BC, boundary_fv.c periodic
     path): solution lane ghosts are the opposite face's columns and the
     face-coefficient lane ghosts wrap instead of quintic extrapolation.
+
+    edge1d: the grid is the 1D edge-tile enumeration of
+    _edge_tile_coords (the comm-overlap BOUNDARY pass). alias_lead:
+    refs[0] is the interior pass's output aliased into this call's
+    output (input_output_aliases) — ignored by the body; tiles not
+    visited by the edge grid keep their interior-pass values.
     """
+    if alias_lead:
+        refs = refs[1:]
     xw_ref = refs[0]
     k = 1
     ilo_ref = ihi_ref = jlo_ref = jhi_ref = None
@@ -622,8 +649,11 @@ def _fv4_kernel(*refs, n, bi, bj, nti, ntj, mode, b_h2inv, ext=False,
         k += 1
     out_ref = refs[k]
 
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
+    if edge1d:
+        ti, tj = _edge_tile_coords(pl.program_id(0), nti, ntj)
+    else:
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
 
     if slab:
         # masked-style windows over the UNEXTENDED local block; the 2-deep
@@ -1245,6 +1275,156 @@ def fv4_call_slab(x, islab_lo, islab_hi, jslab_lo, jslab_hi,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=INTERPRET,
     )(*args)
+
+
+def overlap_grid_shape(ni: int, nj: int, nk: int, prediff: bool = False):
+    """(nti, ntj) if the comm-overlap two-pass split applies to a local
+    (ni, nj, nk) block: the slab tiling must exist with >= 3 tiles per
+    axis (pass 1 needs a non-empty interior grid; with 2 tiles every
+    tile is an edge tile and the plain slab call is the right shape)."""
+    ts = tile_shape_slab(ni, nj, nk, prediff)
+    if ts is None:
+        return None
+    nti, ntj = ni // ts[0], nj // ts[1]
+    return (nti, ntj) if nti >= 3 and ntj >= 3 else None
+
+
+def fv4_call_overlap(x, islab_lo, islab_hi, jslab_lo, jslab_hi,
+                     kbi, kbj, kbk, kbk_top, rhs, dinv, mode: str,
+                     b_h2inv: float, kperiodic: bool = False,
+                     a_alpha: float = 0.0, alpha=None, kgd=None,
+                     ipad: int = 0):
+    """Comm-overlap split of ``fv4_call_slab`` (the reference overlaps
+    local block copies with the in-flight MPI sends and ships overlap
+    kernel variants: exchange_boundary.c:48-56,
+    operators.test/exchange_boundary_overlap.c).
+
+    Pass 1 (INTERIOR) computes every fully-interior tile from the LOCAL
+    block only — it takes none of the 4 slab operands, so it carries no
+    data dependency on the halo ppermutes and XLA's latency-hiding
+    scheduler is free to run it while the collective-permutes are in
+    flight. Pass 2 (BOUNDARY) computes the 2*ntj + 2*(nti-2) edge tiles
+    through the ordinary slab-mode kernel on a 1D edge-tile grid,
+    writing into pass 1's buffer via ``input_output_aliases`` (tiles the
+    edge grid never visits keep their interior-pass values — no
+    assembly copy). Same operands and results as ``fv4_call_slab``;
+    requires ``overlap_grid_shape(...) is not None``.
+    """
+    assert mode in ("apply", "residual", "gsrb"), mode
+    ni, nj, nk = x.shape
+    ts = tile_shape_slab(ni, nj, nk, kgd is not None)
+    assert ts is not None, (ni, nj, nk)
+    bi, bj = ts
+    nti, ntj = ni // bi, nj // bj
+    assert nti >= 3 and ntj >= 3, (nti, ntj)
+    E = pl.Element
+
+    def extra_operands(tile_map):
+        specs, args = [], []
+        tile_spec = pl.BlockSpec((bi, bj, nk), tile_map)
+        if a_alpha:
+            specs.append(tile_spec)
+            args.append(alpha)
+        if mode != "apply":
+            specs.append(tile_spec)
+            args.append(rhs)
+        if mode == "gsrb":
+            specs.append(tile_spec)
+            args.append(dinv)
+        return specs, args
+
+    cp = None if INTERPRET else pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT)
+
+    # ---- pass 1: interior tiles, local-block operands only ------------
+    # ext-mode body: the (bi+4, bj+16) window at interior offsets holds
+    # the full +-2 halo inside the local block, and ext's fixed [6,
+    # bj+10) live-row slice is exactly the interior-window arithmetic —
+    # no first/last masks, no ghost synthesis except the unsharded lanes.
+    kern_i = functools.partial(
+        _fv4_kernel, n=nk, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
+        b_h2inv=b_h2inv, ext=True, kperiodic=kperiodic, a_alpha=a_alpha,
+        prediff=kgd is not None)
+
+    def xmap_i(ti, tj):
+        return (ti * bi + bi - 2, 8 * ((tj + 1) * (bj // 8) - 1), 0)
+
+    def bmap_i(ti, tj):
+        return ((ti + 1) * bi + ipad, (tj + 1) * bj, 0)
+
+    def tmap_i(ti, tj):
+        return (ti + 1, tj + 1, 0)
+
+    in_specs = [
+        pl.BlockSpec((E(bi + 4), E(bj + 16), E(nk)), xmap_i),
+        pl.BlockSpec((E(bi + 1), E(bj + 8), E(nk)), bmap_i),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(nk)), bmap_i),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(nk)), bmap_i),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(1)), bmap_i),
+    ]
+    args = [x, kbi, kbj, kbk, kbk_top]
+    if kgd is not None:
+        in_specs += _prediff_specs(bi, bj, nk, bmap_i)
+        args += list(kgd)
+    especs, eargs = extra_operands(tmap_i)
+    y = pl.pallas_call(
+        kern_i, grid=(nti - 2, ntj - 2),
+        in_specs=in_specs + especs,
+        out_specs=pl.BlockSpec((bi, bj, nk), tmap_i),
+        out_shape=jax.ShapeDtypeStruct((ni, nj, nk), x.dtype),
+        compiler_params=cp, interpret=INTERPRET)(*(args + eargs))
+
+    # ---- pass 2: edge tiles, slab-mode kernel on the 1D edge grid -----
+    kern_e = functools.partial(
+        _fv4_kernel, n=nk, bi=bi, bj=bj, nti=nti, ntj=ntj, mode=mode,
+        b_h2inv=b_h2inv, kperiodic=kperiodic, a_alpha=a_alpha, slab=True,
+        prediff=kgd is not None, edge1d=True, alias_lead=True)
+
+    def xmap_e(t):
+        ti, tj = _edge_tile_coords(t, nti, ntj)
+        return (jnp.clip(ti * bi - 2, 0, ni - bi - 4),
+                8 * jnp.clip(tj * (bj // 8) - 1, 0, (nj - bj - 16) // 8), 0)
+
+    def imap_e(t):
+        return (0, xmap_e(t)[1], 0)
+
+    def jmap_e(t):
+        return (_edge_tile_coords(t, nti, ntj)[0] * bi, 0, 0)
+
+    def bmap_e(t):
+        ti, tj = _edge_tile_coords(t, nti, ntj)
+        return (ti * bi + ipad, tj * bj, 0)
+
+    def tmap_e(t):
+        ti, tj = _edge_tile_coords(t, nti, ntj)
+        return (ti, tj, 0)
+
+    in_specs2 = [
+        pl.BlockSpec((bi, bj, nk), tmap_e),          # aliased pass-1 out
+        pl.BlockSpec((E(bi + 4), E(bj + 16), E(nk)), xmap_e),
+        pl.BlockSpec((E(2), E(bj + 16), E(nk)), imap_e),
+        pl.BlockSpec((E(2), E(bj + 16), E(nk)), imap_e),
+        pl.BlockSpec((E(bi + 4), E(8), E(nk)), jmap_e),
+        pl.BlockSpec((E(bi + 4), E(8), E(nk)), jmap_e),
+        pl.BlockSpec((E(bi + 1), E(bj + 8), E(nk)), bmap_e),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(nk)), bmap_e),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(nk)), bmap_e),
+        pl.BlockSpec((E(bi + 2), E(bj + 8), E(1)), bmap_e),
+    ]
+    args2 = [y, x, islab_lo, islab_hi, jslab_lo, jslab_hi,
+             kbi, kbj, kbk, kbk_top]
+    if kgd is not None:
+        in_specs2 += _prediff_specs(bi, bj, nk, bmap_e)
+        args2 += list(kgd)
+    especs2, eargs2 = extra_operands(tmap_e)
+    n_edge = 2 * ntj + 2 * (nti - 2)
+    return pl.pallas_call(
+        kern_e, grid=(n_edge,),
+        in_specs=in_specs2 + especs2,
+        out_specs=pl.BlockSpec((bi, bj, nk), tmap_e),
+        out_shape=jax.ShapeDtypeStruct((ni, nj, nk), x.dtype),
+        input_output_aliases={0: 0},
+        compiler_params=cp, interpret=INTERPRET)(*(args2 + eargs2))
 
 
 def single_chip_slabs(x, bc: BC):

@@ -45,6 +45,14 @@ from hpgmg_tpu.core.level import Level
 
 _SPEC = P("x", "y", None)
 
+# Comm/compute overlap for the fv4 slab fast path: split each sweep into
+# an interior pass (no halo dependency -> schedulable while the slab
+# ppermutes are in flight) and an edge-tile pass
+# (kernels/stencils.py:fv4_call_overlap; exchange_boundary.c:48-56 +
+# operators.test/exchange_boundary_overlap.c analog). A/B via
+# kernel_sweep --overlap.
+OVERLAP = False
+
 
 # ---------------------------------------------------------------------------
 # eligibility
@@ -456,7 +464,9 @@ def fv4_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
     in_specs = tuple(_SPEC for _ in args)
 
     def body(xl, kbi, kbj, kbk, kbktop, *rest):
-        from hpgmg_tpu.kernels.stencils import fv4_call_ext, fv4_call_slab
+        from hpgmg_tpu.kernels.stencils import (
+            fv4_call_ext, fv4_call_overlap, fv4_call_slab,
+            overlap_grid_shape)
 
         k = 0
         kgdl = None
@@ -471,10 +481,15 @@ def fv4_sharded(mesh: Mesh, level: Level, x, rhs, cfg: SolverConfig,
         dl = rest[k + 1] if mode == "gsrb" else None
         if use_slab:
             ilo, ihi, jlo, jhi = slabs_for_kernel(xl, mesh, periodic)
-            return fv4_call_slab(xl, ilo, ihi, jlo, jhi, kbi, kbj, kbk,
-                                 kbktop, rhsl, dl, mode, b_h2inv,
-                                 kperiodic=periodic, a_alpha=a_alpha,
-                                 alpha=alphal, kgd=kgdl)
+            call = fv4_call_slab
+            if (OVERLAP and mode in ("apply", "residual", "gsrb")
+                    and overlap_grid_shape(nli, nlj, level.dim,
+                                           kgd is not None) is not None):
+                call = fv4_call_overlap
+            return call(xl, ilo, ihi, jlo, jhi, kbi, kbj, kbk,
+                        kbktop, rhsl, dl, mode, b_h2inv,
+                        kperiodic=periodic, a_alpha=a_alpha,
+                        alpha=alphal, kgd=kgdl)
         xe = extend_for_kernel(xl, mesh, periodic)
         return fv4_call_ext(xe, kbi, kbj, kbk, kbktop, rhsl, dl, mode,
                             b_h2inv, kperiodic=periodic, a_alpha=a_alpha,

@@ -411,6 +411,74 @@ def test_single_chip_slab_parity(interpret):
                                    rtol=1e-12, atol=1e-12)
 
 
+def test_single_chip_overlap_parity(interpret, monkeypatch):
+    """fv4_call_overlap (interior pass + aliased edge-tile pass,
+    kernels/stencils.py) == fv4_call_slab on one whole-domain block:
+    the comm-overlap split (exchange_boundary.c:48-56 +
+    operators.test/exchange_boundary_overlap.c analog) is a pure
+    re-scheduling — identical results per mode. Tiles forced to
+    (16, 16) so the 48^3 block has the >= 3x3 tile grid overlap needs
+    (the production tile search prefers 2-tile axes at this size)."""
+    from hpgmg_tpu.core.config import BC
+
+    monkeypatch.setattr(stencils, "tile_shape_slab", lambda *a: (16, 16))
+    assert stencils.overlap_grid_shape(48, 48, 48) == (3, 3)
+    for bc in (BC.DIRICHLET, BC.PERIODIC):
+        cfg = SolverConfig(op="fv4", a=0.0, dtype=jnp.float64,
+                           kernels="pallas", bc=bc)
+        prob = init_problem_fv(48, dtype=jnp.float64,
+                               periodic=bc == BC.PERIODIC)
+        hier = build_hierarchy(prob.beta_i, prob.beta_j, prob.beta_k, cfg)
+        lv = hier.levels[0]
+        x = jnp.asarray(
+            np.random.default_rng(5).standard_normal((48, 48, 48)))
+        ilo, ihi, jlo, jhi = stencils.single_chip_slabs(x, bc)
+        kper = bc == BC.PERIODIC
+        for mode, rhs, dinv in (("apply", None, None),
+                                ("residual", prob.f, None),
+                                ("gsrb", prob.f, lv.kdinv[0])):
+            common = (x, ilo, ihi, jlo, jhi, lv.kbi, lv.kbj, lv.kbk,
+                      lv.kbk_top, rhs, dinv, mode, cfg.b * lv.h2inv)
+            ref = stencils.fv4_call_slab(*common, kperiodic=kper, ipad=2)
+            out = stencils.fv4_call_overlap(*common, kperiodic=kper,
+                                            ipad=2)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-14, atol=1e-14)
+
+
+@requires_8dev
+def test_sharded_overlap_matches_xla(interpret, monkeypatch):
+    """OVERLAP=True routes the distributed slab fast path through the
+    two-pass interior/edge split under shard_map (the interior pallas
+    call takes no slab operand, so it carries no data dependency on the
+    halo ppermutes); parity vs the XLA smoother on the 4x2 mesh. Tiles
+    forced to (4, 8) so the 16x32 local blocks have a 4x4 tile grid;
+    exercises the per-shard PREDIFF kgd operands through both passes."""
+    from hpgmg_tpu.parallel import shard_kernels as SK
+
+    cfg, hier, prob = _setup(64)
+    op = get_suite(cfg.op)
+    cfg_xla = SolverConfig(op="fv4", a=0.0, dtype=jnp.float64,
+                           kernels="xla")
+    lv = hier.levels[0]
+    x = prob.f / (1.0 + jnp.max(jnp.abs(prob.f)))
+    rhs = prob.f
+    ref = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg_xla))(lv, x, rhs)
+    mesh = make_mesh_ij()
+    monkeypatch.setattr(stencils, "tile_shape_slab", lambda *a: (4, 8))
+    assert stencils.overlap_grid_shape(16, 32, 64) == (4, 4)
+    hier_s = shard_hierarchy(mesh, hier, cfg)
+    lvs = hier_s.levels[0]
+    assert lvs.kgd is not None  # PREDIFF operands ride both passes
+    x_s, rhs_s = shard_array(mesh, x), shard_array(mesh, rhs)
+    monkeypatch.setattr(SK, "OVERLAP", True)
+    with active_mesh(mesh):
+        out = jax.jit(lambda lv, x, r: gsrb(op, lv, x, r, cfg))(
+            lvs, x_s, rhs_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-12, atol=5e-13)
+
+
 @requires_8dev
 @pytest.mark.parametrize("name", ["fv2", "27pt"])
 def test_sharded_gsrb2_matches_xla(interpret, name):
