@@ -24,9 +24,16 @@ def main(argv=None):
     p.add_argument("--n", type=int, nargs="*", default=[64, 128, 256])
     p.add_argument("--seconds", type=float, default=1.0)
     p.add_argument("--bottom", default="direct")
+    p.add_argument("--max-dim", type=int, default=None,
+                   help="override TAIL_MAX_DIM (default 32): the largest "
+                        "level dim fused into the tail kernels — 64 "
+                        "pulls the level-64 V-subtree in-kernel too")
     args = p.parse_args(argv)
 
     import hpgmg_tpu.kernels.tail as T
+
+    if args.max_dim is not None:
+        T.TAIL_MAX_DIM = args.max_dim
     from hpgmg_tpu.bench.driver import run_benchmark
     from hpgmg_tpu.core.config import BottomSolver, Smoother, SolverConfig
 

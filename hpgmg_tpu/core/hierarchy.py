@@ -172,13 +172,21 @@ def slim_hierarchy(hier: Hierarchy, cfg: SolverConfig) -> Hierarchy:
     from hpgmg_tpu.core.config import Smoother
     from hpgmg_tpu.ops.base import get_suite
 
+    from hpgmg_tpu.kernels import tail as _tail
+
     op = get_suite(cfg.op)
     new_levels = []
     for i, lv in enumerate(hier.levels):
         kw = {}
         if cfg.smoother != Smoother.L1JACOBI:
             kw["l1inv"] = None
-        if op.kernel_active(cfg, lv) and i < len(hier.levels) - 1:
+        # levels the fused tail V-cycle may cover read the raw beta
+        # views and the full kdinv pair in-kernel (kernels/tail.py
+        # _level_operands) — keep them even when kernel-active
+        tail_level = (_tail.TAIL_FUSE and getattr(op, "name", None) == "fv4"
+                      and lv.dim <= _tail.TAIL_MAX_DIM)
+        if (op.kernel_active(cfg, lv) and i < len(hier.levels) - 1
+                and not tail_level):
             kw.update(beta_i=None, beta_j=None, beta_k=None)
             if cfg.smoother == Smoother.GSRB:
                 kw["dinv"] = None

@@ -59,9 +59,12 @@ from jax.experimental.pallas import tpu as pltpu
 import hpgmg_tpu.kernels.stencils as _s
 from hpgmg_tpu.core.config import BC, Smoother, SolverConfig
 
-# Default OFF until the on-chip legalization + whole-solve A/B lands
-# (bench/tail_ab.py); interpret-mode parity is tests/test_tail.py.
-TAIL_FUSE = False
+# Default ON after the on-chip whole-solve A/B (2026-08-20, bench/
+# tail_ab.py, docs/TAIL_r05.md): tail=ON wins at every size — 64^3
+# 1.715->1.630 ms/solve (+5.2%), 128^3 5.665->5.474 (+3.5%), 256^3
+# 28.10->27.74 (+1.3%), 512^3 neutral-to-positive (186.9->186.0 ms) —
+# with equal-order convergence. Interpret parity: tests/test_tail.py.
+TAIL_FUSE = True
 TAIL_MAX_DIM = 32   # levels with dim <= this fuse into the tail kernels
 _TAIL_MIN_DIM = 8   # quartic ghosts / quintic beta ghosts need >= 4 / 5
 
