@@ -28,12 +28,18 @@ def main(argv=None):
                    help="override TAIL_MAX_DIM (default 32): the largest "
                         "level dim fused into the tail kernels — 64 "
                         "pulls the level-64 V-subtree in-kernel too")
+    p.add_argument("--one-launch", action="store_true",
+                   help="the ON arm also fuses the DIRECT bottom "
+                        "in-kernel (TAIL_ONE_LAUNCH: descent + bottom + "
+                        "climb = ONE launch per V-subtree)")
     args = p.parse_args(argv)
 
     import hpgmg_tpu.kernels.tail as T
 
     if args.max_dim is not None:
         T.TAIL_MAX_DIM = args.max_dim
+    if args.one_launch:
+        T.TAIL_ONE_LAUNCH = True
     from hpgmg_tpu.bench.driver import run_benchmark
     from hpgmg_tpu.core.config import BottomSolver, Smoother, SolverConfig
 

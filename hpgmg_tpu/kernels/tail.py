@@ -211,6 +211,65 @@ def _unpack_level(refs, k, cfg):
     return (ebi, ebj, ebk, ebk_top, kdr, kdb, alpha), k
 
 
+def _bottom_direct(r, b6, db: int):
+    """In-kernel DIRECT bottom solve u = A^-1 r at the (db, db, db)
+    coarsest grid (solvers.c DIRECT analog; the dense inverse is the
+    MGBuild precompute, core/hierarchy.py). ``b6`` is the inverse
+    re-laid-out as [i, j, a, b, c, k] so every step is a static slice +
+    lane-broadcast multiply + lane reduction directly into the 3D
+    output shape — guaranteed-legal Mosaic ops, no lane-crossing
+    reshape; at db=8 the whole solve is ~0.5 MFLOP of VPU work, far
+    below one kernel-launch overhead."""
+    u = jnp.zeros((db, db, db), r.dtype)
+    for i in range(db):
+        for j in range(db):
+            row = r[i, j, :]                          # (db,) lanes
+            u = u + jnp.sum(b6[i, j] * row[None, None, None, :], axis=-1)
+    return u
+
+
+def _v_kernel(*refs, nlev, nsweeps, b_h2invs, a_alpha, cfg, db):
+    """The WHOLE V-subtree in one launch: descent (pre-smooth, residual,
+    restrict per level), the DIRECT bottom solve, and the climb (v2
+    interpolation +=, post-smooth per level) — pre-smoothed iterates and
+    per-level rhs stay in VMEM (no intermediate HBM round-trips), and
+    the per-V-visit launch count drops from 2 kernels + an XLA bottom
+    to ONE kernel (mg.c:1135-1164 entire)."""
+    x = refs[0][...]
+    rhs = refs[1][...]
+    k = 2
+    coefs, rmats, wmats = [], [], []
+    for li in range(nlev):
+        coef, k = _unpack_level(refs, k, cfg)
+        coefs.append(coef)
+        rmats.append((refs[k][...], refs[k + 1][...]))  # (rj, rk)
+        wmats.append(refs[k + 2][...])                  # v2 interp matrix
+        k += 3
+    b6 = refs[k][...]
+    out = refs[k + 1]
+    ax_fns = []
+    for li in range(nlev):
+        ebi, ebj, ebk, ebk_top, kdr, kdb, alpha = coefs[li]
+        ax_fns.append(functools.partial(
+            _tail_ax, ebi=ebi, ebj=ebj, ebk=ebk, ebk_top=ebk_top,
+            b_h2inv=b_h2invs[li], a_alpha=a_alpha, alpha=alpha))
+    es, rhss = [], []
+    for li in range(nlev):
+        ebi, ebj, ebk, ebk_top, kdr, kdb, alpha = coefs[li]
+        x = _gsrb_sweeps(x, rhs, kdr, kdb, ax_fns[li], nsweeps)
+        es.append(x)
+        rhss.append(rhs)
+        rj, rk = rmats[li]
+        rhs = _restrict3(rhs - ax_fns[li](x), rj, rk)
+        x = jnp.zeros_like(rhs)
+    u = _bottom_direct(rhs, b6, db)
+    for li in range(nlev - 1, -1, -1):
+        ebi, ebj, ebk, ebk_top, kdr, kdb, alpha = coefs[li]
+        x = _interp_v2_add(u, es[li], wmats[li])
+        u = _gsrb_sweeps(x, rhss[li], kdr, kdb, ax_fns[li], nsweeps)
+    out[...] = u
+
+
 def _down_kernel(*refs, nlev, nsweeps, b_h2invs, a_alpha, cfg):
     """Descent over the tail levels: pre-smooth, residual, restrict."""
     x = refs[0][...]
@@ -317,6 +376,38 @@ def tail_up_call(tail, es, rhss, u_bot, cfg: SolverConfig):
         interpret=_s.INTERPRET)(*args)
 
 
+def tail_v_call(tail, bottom_level, e, rhs, cfg: SolverConfig):
+    """ONE-launch fused V-subtree: descent + DIRECT bottom + climb
+    (mg.c:1135-1164 whole) when the level below the fused span IS the
+    bottom and carries the precomputed dense inverse. Returns the root
+    iterate."""
+    nlev = len(tail)
+    dtype = e.dtype
+    nsweeps = 2 * cfg.resolved_num_smooths(_FV4)
+    db = bottom_level.dim
+    args = [e, rhs]
+    for lv in tail:
+        args += _level_operands(lv, cfg)
+        d = lv.dim
+        args.append(jnp.asarray(_pair_matrix(d, 0.5), dtype))    # rj
+        args.append(jnp.asarray(_pair_matrix(d, 0.5).T, dtype))  # rk
+        args.append(jnp.asarray(_interp_v2_matrix(d // 2), dtype))
+    # Binv[(a,b,c),(i,j,k)] -> [i,j,a,b,c,k] for the in-kernel bottom
+    b6 = (bottom_level.bottom_ainv.astype(dtype)
+          .reshape(db, db, db, db, db, db)
+          .transpose(3, 4, 0, 1, 2, 5))
+    args.append(b6)
+    kern = functools.partial(
+        _v_kernel, nlev=nlev, nsweeps=nsweeps,
+        b_h2invs=tuple(cfg.b * lv.h2inv for lv in tail),
+        a_alpha=cfg.a if cfg.helmholtz else 0.0, cfg=cfg, db=db)
+    d0 = tail[0].dim
+    return pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((d0, d0, d0), dtype),
+        compiler_params=_compiler_params(),
+        interpret=_s.INTERPRET)(*args)
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
@@ -370,17 +461,31 @@ def use_tail(op, cfg: SolverConfig, levels, lev: int) -> bool:
         return False
 
 
+# ONE-launch variant (down + DIRECT bottom + climb in a single kernel,
+# tail_v_call) when the level below the span is the DIRECT bottom.
+# Default OFF until the on-chip A/B (bench/tail_ab.py --one-launch).
+TAIL_ONE_LAUNCH = False
+
+
 def tail_vcycle(op, levels, lev: int, e, rhs, cfg: SolverConfig):
     """The fused V-cycle: DOWN kernel over the fusible span -> ordinary
     recursion below it (deeper tiny levels and/or the bottom solve, which
     are launch-free XLA per the batch-d A/B) -> UP kernel. Drop-in for
-    solve/mg.py:vcycle at a qualified root."""
+    solve/mg.py:vcycle at a qualified root. With TAIL_ONE_LAUNCH and a
+    DIRECT bottom right below the span, the whole subtree (descent +
+    bottom + climb) runs as ONE kernel instead (tail_v_call)."""
+    from hpgmg_tpu.core.config import BottomSolver
     from hpgmg_tpu.solve import mg as _mg
 
     span = tail_span(levels, lev)
     sub = levels[lev:lev + span]
-    es, rhss = tail_down_call(sub, e, rhs, cfg)
     below = levels[lev + span]
+    if (TAIL_ONE_LAUNCH and lev + span == len(levels) - 1
+            and cfg.bottom == BottomSolver.DIRECT
+            and getattr(below, "bottom_ainv", None) is not None
+            and not getattr(below, "ksharded", False)):
+        return tail_v_call(sub, below, e, rhs, cfg)
+    es, rhss = tail_down_call(sub, e, rhs, cfg)
     e_below = _mg.vcycle(op, levels, lev + span,
                          jnp.zeros(below.shape, below.dtype),
                          rhss[-1], cfg)

@@ -122,3 +122,36 @@ def test_tail_helmholtz_parity():
         T.TAIL_FUSE = old
     np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
                                rtol=1e-11, atol=1e-11)
+
+
+def test_one_launch_matches_split():
+    """TAIL_ONE_LAUNCH (descent + in-kernel DIRECT bottom + climb in ONE
+    kernel, tail_v_call) == the split down/XLA-bottom/up path, and the
+    full F-cycle converges identically (solvers.c DIRECT +
+    mg.c:1135-1164 in one launch)."""
+    cfg, prob, hier = _setup(32, min_coarse_dim=8)
+    op = get_suite("fv4")
+    levels = hier.levels
+    assert levels[-1].dim == 8 and levels[-1].bottom_ainv is not None
+    assert T.tail_span(levels, 0) == 2, [lv.dim for lv in levels]
+    rng = np.random.default_rng(7)
+    e0 = jnp.asarray(rng.standard_normal((32, 32, 32)))
+    split = T.tail_vcycle(op, levels, 0, e0, prob.f, cfg)
+    old = T.TAIL_ONE_LAUNCH
+    T.TAIL_ONE_LAUNCH = True
+    try:
+        one = T.tail_vcycle(op, levels, 0, e0, prob.f, cfg)
+        u1, nr1, nf1 = fmg_solve(op, hier, prob.f, cfg)
+    finally:
+        T.TAIL_ONE_LAUNCH = old
+    np.testing.assert_allclose(np.asarray(one), np.asarray(split),
+                               rtol=1e-11, atol=1e-11)
+    u2, nr2, nf2 = fmg_solve(op, hier, prob.f, cfg)
+    rel1, rel2 = float(nr1) / float(nf1), float(nr2) / float(nf2)
+    # the truncated [32,16,8] ladder's one-F-cycle floor is ~1e-3 (fewer
+    # V levels than the full ladder); the check that matters is that the
+    # one-launch and split paths land on the SAME floor and iterate
+    assert rel1 < 2e-3, rel1
+    assert abs(rel1 - rel2) < 0.1 * rel2, (rel1, rel2)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                               rtol=1e-9, atol=1e-10)
