@@ -32,6 +32,11 @@ def main(argv=None):
                    help="the ON arm also fuses the DIRECT bottom "
                         "in-kernel (TAIL_ONE_LAUNCH: descent + bottom + "
                         "climb = ONE launch per V-subtree)")
+    p.add_argument("--arms", default="both", choices=["both", "on", "off"],
+                   help="which arms to run (degraded-tunnel batches: run "
+                        "'on' only and compare against an OFF arm already "
+                        "on record — each arm costs a fresh warmup compile "
+                        "through the tunnel)")
     args = p.parse_args(argv)
 
     import hpgmg_tpu.kernels.tail as T
@@ -47,8 +52,9 @@ def main(argv=None):
     cfg = SolverConfig(op="fv4", a=0.0, b=1.0, smoother=Smoother.GSRB,
                        bottom=BottomSolver(args.bottom),
                        min_coarse_dim=8, dtype=jnp.float32)
+    arms = {"both": (False, True), "on": (True,), "off": (False,)}[args.arms]
     for n in args.n:
-        for fuse in (False, True):
+        for fuse in arms:
             old = T.TAIL_FUSE
             T.TAIL_FUSE = fuse
             try:
