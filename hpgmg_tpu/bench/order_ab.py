@@ -30,6 +30,11 @@ def main(argv=None):
                    help="one f64 XLA-path arm (order is rounding-free)")
     p.add_argument("--seconds", type=float, default=0.5,
                    help="timed-chain budget (order only needs the solves)")
+    p.add_argument("--subset", default=None,
+                   help="comma list of arm keys to run (default: all four; "
+                        "'default,r3' is the decisive pair when the tunnel "
+                        "budget is tight — each arm costs 3 cold warmup "
+                        "compiles at n, n/2, n/4)")
     args = p.parse_args(argv)
 
     import hpgmg_tpu.kernels.restrict as R
@@ -55,12 +60,15 @@ def main(argv=None):
                        bottom=BottomSolver.DIRECT,
                        min_coarse_dim=8, dtype=jnp.float32)
     arms = [
-        ("default (pool>=256, fres<=128)", None),
-        ("pool OFF", ("pool",)),
-        ("fres OFF", ("fres",)),
-        ("pool+fres OFF (r3 config)", ("pool", "fres")),
+        ("default", "default (pool>=256, fres<=128)", None),
+        ("pool", "pool OFF", ("pool",)),
+        ("fres", "fres OFF", ("fres",)),
+        ("r3", "pool+fres OFF (r3 config)", ("pool", "fres")),
     ]
-    for name, off in arms:
+    if args.subset:
+        keys = set(args.subset.split(","))
+        arms = [a for a in arms if a[0] in keys]
+    for _key, name, off in arms:
         old = (T.RESTRICT_POOL, R.FUSED_RESTRICT)
         if off:
             if "pool" in off:

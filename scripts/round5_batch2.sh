@@ -6,7 +6,7 @@
 set -u
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}"
 cd "$(dirname "$0")/.."
-LEGS="${*:-tailmax64 tail512 bench}"
+LEGS="${*:-tailmax64 order orderf64 fmg2dd overlap tail512 bench}"
 
 probe() {
   timeout 180 python - <<'EOF'
@@ -41,8 +41,15 @@ if has tail512; then
 fi
 
 if has order; then
-  echo "=== order_ab @512 f32 flag matrix (VERDICT #3) ==="
-  timeout 3600 python -m hpgmg_tpu.bench.order_ab --n 512 2>&1 | quiet
+  echo "=== order_ab @512 f32 decisive pair (VERDICT #3) ==="
+  timeout 3600 python -m hpgmg_tpu.bench.order_ab --n 512 \
+    --subset default,r3 2>&1 | quiet
+fi
+
+if has order2; then
+  echo "=== order_ab @512 f32 single-flag arms ==="
+  timeout 3600 python -m hpgmg_tpu.bench.order_ab --n 512 \
+    --subset pool,fres 2>&1 | quiet
 fi
 
 if has orderf64; then
